@@ -184,16 +184,16 @@ def build_teacher_forcing(tokens: jax.Array, lengths: jax.Array
     return inputs, targets, mask
 
 
-def loss_fn(params: Params, tokens: jax.Array, lengths: jax.Array,
-            feats: jax.Array, *, pdrop: float = 0.0,
-            rng: jax.Array | None = None,
-            compute_dtype=jnp.bfloat16) -> jax.Array:
-    """Mean per-token teacher-forced NLL, including the EOS step.
+def loss_total_count(params: Params, tokens: jax.Array, lengths: jax.Array,
+                     feats: jax.Array, *, pdrop: float = 0.0,
+                     rng: jax.Array | None = None,
+                     compute_dtype=jnp.bfloat16
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Summed teacher-forced NLL and prediction count for one batch.
 
-    Semantics of the reference ``loss`` (lrcn.jl:553-581): per-step
-    log-softmax over the vocabulary, gather the gold token, average over
-    B*(L+1) predictions — here with padding masked out so variable-length
-    batches are exact.
+    The building block for both the per-batch mean loss and dataset-level
+    average loss (the reference's ``average_loss`` accumulates total/count
+    across batches, lrcn.jl:407-486).
     """
     inputs, targets, mask = build_teacher_forcing(tokens, lengths)
     b_dim, t_dim = inputs.shape
@@ -228,7 +228,24 @@ def loss_fn(params: Params, tokens: jax.Array, lengths: jax.Array,
     mask_flat = jnp.transpose(mask).reshape(t_dim * b_dim)
     total = jnp.sum(gold * mask_flat)
     count = jnp.sum(mask_flat)
-    return -total / count
+    return -total, count
+
+
+def loss_fn(params: Params, tokens: jax.Array, lengths: jax.Array,
+            feats: jax.Array, *, pdrop: float = 0.0,
+            rng: jax.Array | None = None,
+            compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Mean per-token teacher-forced NLL, including the EOS step.
+
+    Semantics of the reference ``loss`` (lrcn.jl:553-581): per-step
+    log-softmax over the vocabulary, gather the gold token, average over
+    B*(L+1) predictions — here with padding masked out so variable-length
+    batches are exact.
+    """
+    total, count = loss_total_count(params, tokens, lengths, feats,
+                                    pdrop=pdrop, rng=rng,
+                                    compute_dtype=compute_dtype)
+    return total / count
 
 
 def decode_step(params: Params, state: LSTMState, token_ids: jax.Array,

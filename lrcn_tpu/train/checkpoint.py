@@ -1,0 +1,97 @@
+"""Checkpointing: model params + vocab + config, npz-backed.
+
+Replaces the reference's JLD checkpoints, which store the flat param list
+and the vocab (lrcn.jl:185,230; GPU arrays round-tripped through the
+KnetJLD shim, lrcn.jl:776-781).  The vocab travels with the checkpoint for
+self-consistency even though our vocab construction is deterministic
+(the reference's is not — see core/vocab.py).
+
+Format:
+
+    ckpt_dir/
+      params.npz     flattened param pytree, keys are '/'-joined paths
+      opt_state.npz  optional optimizer-state leaves, keys 'leaf_<i>'
+      vocab.json
+      config.json    LRCNConfig fields + step/epoch metadata
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from lrcn_tpu.config import LRCNConfig
+from lrcn_tpu.core.vocab import Vocab
+
+
+def _flatten_params(params: Any) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(
+            str(p.key) if hasattr(p, "key") else str(p.idx) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_checkpoint(path: str, params: Any, vocab: Vocab, cfg: LRCNConfig,
+                    opt_state: Any = None, step: int = 0,
+                    epoch: int = 0) -> None:
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, "params.npz"), **_flatten_params(params))
+    if opt_state is not None:
+        leaves = jax.tree.leaves(opt_state)
+        np.savez(os.path.join(path, "opt_state.npz"),
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    vocab.save(os.path.join(path, "vocab.json"))
+    meta = dataclasses.asdict(cfg)
+    meta.update(step=step, epoch=epoch)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(meta, f, default=str)
+
+
+def load_checkpoint(path: str) -> dict[str, Any]:
+    """Load a checkpoint directory.
+
+    Returns a dict with 'params' (numpy pytree), 'vocab', 'cfg', 'step',
+    'epoch', and 'opt_leaves' (list or None; restore into an optimizer
+    state with ``restore_opt_state``).
+    """
+    with np.load(os.path.join(path, "params.npz")) as z:
+        params = _unflatten_params({k: z[k] for k in z.files})
+    vocab = Vocab.load(os.path.join(path, "vocab.json"))
+    with open(os.path.join(path, "config.json")) as f:
+        meta = json.load(f)
+    step = meta.pop("step", 0)
+    epoch = meta.pop("epoch", 0)
+    field_names = {f.name for f in dataclasses.fields(LRCNConfig)}
+    cfg = LRCNConfig(**{k: v for k, v in meta.items() if k in field_names})
+    opt_leaves = None
+    opt_path = os.path.join(path, "opt_state.npz")
+    if os.path.exists(opt_path):
+        with np.load(opt_path) as z:
+            opt_leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    return {"params": params, "vocab": vocab, "cfg": cfg, "step": step,
+            "epoch": epoch, "opt_leaves": opt_leaves}
+
+
+def restore_opt_state(template_opt_state: Any, opt_leaves: list) -> Any:
+    """Rebuild an optimizer state from saved leaves + a freshly-initialized
+    template (``opt.init(params)``) providing the tree structure."""
+    treedef = jax.tree.structure(template_opt_state)
+    return jax.tree.unflatten(treedef, opt_leaves)

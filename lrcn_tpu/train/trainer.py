@@ -1,0 +1,152 @@
+"""Training engine: jitted value_and_grad steps, Adam, epoch loop.
+
+Replaces the reference's host-driven training (``train!``/``train1``,
+lrcn.jl:223-405) with:
+
+- a single jitted train step (loss + grad + optimizer update) with donated
+  params/opt-state buffers — the whole per-token hot loop the reference ran
+  as one kernel-launch chain per timestep lives inside one XLA program;
+- optax Adam (one shared Adam is equivalent to the reference's per-param
+  ``Adam()`` list, lrcn.jl:399-405) with REAL gradient clipping when
+  ``gclip > 0`` (the reference parses --gclip but its clipping is commented
+  out, lrcn.jl:386-393);
+- per-epoch checkpointing and train/val average loss, logged as JSONL
+  (reference: lrcn.jl:228-239);
+- double-buffered host->HBM feature feed (data/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lrcn_tpu.config import LRCNConfig
+from lrcn_tpu.core.vocab import Vocab
+from lrcn_tpu.data.batcher import Batch, iterate_epoch
+from lrcn_tpu.data.feature_store import FeatureStore
+from lrcn_tpu.data.pipeline import prefetch_to_device
+from lrcn_tpu.models import lrcn
+from lrcn_tpu.train.checkpoint import save_checkpoint
+from lrcn_tpu.train.metrics import MetricsLogger
+
+
+def make_optimizer(cfg: LRCNConfig) -> optax.GradientTransformation:
+    steps = []
+    if cfg.gclip and cfg.gclip > 0:
+        steps.append(optax.clip_by_global_norm(cfg.gclip))
+    steps.append(optax.adam(cfg.lr))
+    return optax.chain(*steps)
+
+
+class Trainer:
+    def __init__(self, cfg: LRCNConfig, vocab: Vocab,
+                 metrics: MetricsLogger | None = None):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.metrics = metrics or MetricsLogger()
+        self.opt = make_optimizer(cfg)
+        self._compute_dtype = jnp.dtype(cfg.compute_dtype)
+        self._train_step = jax.jit(
+            functools.partial(self._step_impl, pdrop=cfg.dropout),
+            donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_impl)
+
+    # --- jitted kernels ---
+
+    def _step_impl(self, params, opt_state, tokens, lengths, feats, rng,
+                   pdrop):
+        loss, grads = jax.value_and_grad(lrcn.loss_fn)(
+            params, tokens, lengths, feats, pdrop=pdrop, rng=rng,
+            compute_dtype=self._compute_dtype)
+        updates, opt_state = self.opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def _eval_impl(self, params, tokens, lengths, feats):
+        return lrcn.loss_total_count(params, tokens, lengths, feats,
+                                     pdrop=0.0,
+                                     compute_dtype=self._compute_dtype)
+
+    # --- host loop ---
+
+    def init(self, rng: jax.Array):
+        params = lrcn.init_params(rng, self.cfg)
+        return params, self.opt.init(params)
+
+    def _device_batches(self, batches, store: FeatureStore,
+                        rng: np.random.Generator | None):
+        def transform(batch: Batch):
+            return (jnp.asarray(batch.tokens), jnp.asarray(batch.lengths),
+                    jnp.asarray(store.gather(batch.image_ids), jnp.float32))
+        return prefetch_to_device(iterate_epoch(batches, rng), size=2,
+                                  transform=transform)
+
+    def train_epoch(self, params, opt_state, batches: Sequence[Batch],
+                    store: FeatureStore, rng_key: jax.Array,
+                    shuffle_rng: np.random.Generator,
+                    log_every: int = 200) -> tuple:
+        """One epoch over shuffled batches (reference: train1, lrcn.jl:330-397)."""
+        t0 = time.time()
+        tokens_seen = 0
+        last_loss = None
+        for i, (tokens, lengths, feats) in enumerate(
+                self._device_batches(batches, store, shuffle_rng)):
+            rng_key, step_key = jax.random.split(rng_key)
+            params, opt_state, loss = self._train_step(
+                params, opt_state, tokens, lengths, feats, step_key)
+            tokens_seen += int(np.sum(np.maximum(np.asarray(lengths), 0)))
+            if log_every and i % log_every == 0:
+                last_loss = float(loss)   # device sync only when logging
+                self.metrics.log(event="train", batch=i,
+                                 loss=round(last_loss, 4),
+                                 words_per_sec=round(
+                                     tokens_seen / (time.time() - t0), 1))
+        jax.block_until_ready(params)
+        self.metrics.log(event="epoch_train_done",
+                         batches=len(batches),
+                         words_per_sec=round(
+                             tokens_seen / (time.time() - t0), 1))
+        return params, opt_state, rng_key
+
+    def average_loss(self, params, batches: Sequence[Batch],
+                     store: FeatureStore) -> float:
+        """Dataset-level mean NLL (reference: average_loss, lrcn.jl:407-486)."""
+        total, count = 0.0, 0.0
+        for tokens, lengths, feats in self._device_batches(
+                batches, store, None):
+            t, c = self._eval_step(params, tokens, lengths, feats)
+            total += float(t)
+            count += float(c)
+        return total / max(count, 1.0)
+
+    def fit(self, params, opt_state, train_batches: Sequence[Batch],
+            val_batches: Sequence[Batch] | None,
+            train_store: FeatureStore, val_store: FeatureStore | None,
+            rng_key: jax.Array, *, epochs: int | None = None,
+            savefile: str | None = None,
+            eval_train_loss: bool = True) -> tuple:
+        """Full training loop (reference: train!, lrcn.jl:223-246)."""
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        seed = self.cfg.seed if self.cfg.seed > 0 else None
+        shuffle_rng = np.random.default_rng(seed)
+        for epoch in range(1, epochs + 1):
+            params, opt_state, rng_key = self.train_epoch(
+                params, opt_state, train_batches, train_store, rng_key,
+                shuffle_rng)
+            if savefile:
+                save_checkpoint(savefile, params, self.vocab, self.cfg,
+                                opt_state=opt_state, epoch=epoch)
+            record = {"event": "epoch", "epoch": epoch}
+            if eval_train_loss:
+                record["train_loss"] = round(
+                    self.average_loss(params, train_batches, train_store), 4)
+            if val_batches is not None and val_store is not None:
+                record["val_loss"] = round(
+                    self.average_loss(params, val_batches, val_store), 4)
+            self.metrics.log(**record)
+        return params, opt_state
