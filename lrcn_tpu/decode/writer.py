@@ -1,0 +1,97 @@
+"""Caption generation driver + eval-file writers.
+
+Produces the exact output surface of the reference's generation mode:
+``candidates.txt`` / ``candidate_ids.txt`` (COCO) and
+``candidates_flickr`` / ``candidate_ids_flickr`` (lrcn.jl:132-157), where
+each caption line is the generated words joined by spaces with a trailing
+`` .`` (lrcn.jl:634-640).
+
+Unlike the reference (one host-looped beam search per image), images are
+decoded in fixed-size device batches.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from lrcn_tpu.core.vocab import EOS_ID, Vocab
+from lrcn_tpu.data.feature_store import FeatureStore, l1_normalize
+from lrcn_tpu.decode.beam import beam_search, greedy_search
+from lrcn_tpu.models.lrcn import Params
+
+
+def caption_to_line(token_row: np.ndarray, vocab: Vocab) -> str:
+    """Token ids (BOS at [0]) -> the reference's caption line format.
+
+    Reference: print each word followed by a space, stop at EOS, then
+    print "." (lrcn.jl:634-640) — i.e. ``"w1 w2 ... wn ."``.
+    """
+    words = []
+    for t in token_row[1:]:
+        if int(t) == EOS_ID:
+            break
+        words.append(vocab.word(int(t)))
+    return " ".join(words + ["."])
+
+
+def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
+                      image_ids: Sequence[int], *, beam_width: int = 3,
+                      max_words: int = 30, batch_size: int = 64,
+                      normalize: bool | None = None,
+                      compute_dtype=jnp.bfloat16) -> list[str]:
+    """Beam-decode captions for ``image_ids`` in device batches.
+
+    ``normalize``: L1-normalize features on the fly; defaults to skipping
+    normalization when the store says it is already normalized (the
+    reference's ``featsn`` files are pre-normalized; the live-CNN path
+    normalizes at lrcn.jl:597).
+    """
+    if normalize is None:
+        normalize = not store.normalized
+    decode = (greedy_search if beam_width == 1 else beam_search)
+
+    lines: list[str] = []
+    n = len(image_ids)
+    for start in range(0, n, batch_size):
+        ids = list(image_ids[start:start + batch_size])
+        n_real = len(ids)
+        while len(ids) < batch_size:   # static shape for XLA
+            ids.append(ids[-1])
+        feats = store.gather(ids).astype(np.float32)
+        if normalize:
+            feats = l1_normalize(feats)
+        if beam_width == 1:
+            tokens, _ = decode(params, jnp.asarray(feats),
+                               max_words=max_words,
+                               compute_dtype=compute_dtype)
+        else:
+            tokens, _ = decode(params, jnp.asarray(feats),
+                               beam_width=beam_width, max_words=max_words,
+                               compute_dtype=compute_dtype)
+        tokens = np.asarray(tokens)
+        lines.extend(caption_to_line(tokens[i], vocab)
+                     for i in range(n_real))
+    return lines
+
+
+def write_candidate_files(lines: Sequence[str], image_ids: Sequence[int],
+                          candidates_path: str, ids_path: str) -> None:
+    """Write the caption + id files consumed by the eval harness
+    (reference: lrcn.jl:133-139,600)."""
+    with open(candidates_path, "w") as f:
+        for line in lines:
+            f.write(line + "\n")
+    with open(ids_path, "w") as f:
+        for image_id in image_ids:
+            f.write(f"{int(image_id)}\n")
+
+
+def pick_eval_ids(image_ids: Sequence[int], capnumber: int,
+                  rng: np.random.Generator) -> list[int]:
+    """Choose ``capnumber`` unique image ids at random (lrcn.jl:142-150)."""
+    unique = list(dict.fromkeys(int(i) for i in image_ids))
+    rng.shuffle(unique)
+    return unique[:capnumber]
