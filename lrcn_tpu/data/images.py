@@ -1,0 +1,132 @@
+"""Image preprocessing + batched fc7 feature extraction.
+
+Host side reproduces the reference's ``read_image_data`` (lrcn.jl:750-773):
+decode (optionally downloading a URL, lrcn.jl:751-754), resize so the
+SHORTEST side is 224 using the reference's exact integer arithmetic
+``new_size = (dim * 224) ÷ min(dims)`` (lrcn.jl:756), center-crop 224x224
+(:757-759), grayscale -> 3 channels (:761-763).
+
+Device side is one jitted program over a batch: uint8 -> float, x255, mean
+image subtraction (lrcn.jl:771) fused by XLA into the first VGG conv.  The
+reference runs this per image on the host; we batch it (SURVEY.md §3.3 marks
+the batch-1 interpreter walk as the hot spot).
+
+Layout note: we keep images (H, W, 3) row-major NHWC end to end.  The
+reference's permutedims dance (lrcn.jl:766-771) converts Julia's column-major
+channelview to the same logical H/W orientation before the conv, so no
+transposition is re-derived here — only the mean image is applied in (W,H,3)
+orientation there (g1 permute AFTER subtraction); the mean image is nearly
+constant per channel so we subtract it un-transposed and document the
+divergence.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+import urllib.request
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lrcn_tpu.data.feature_store import FeatureStore, l1_normalize
+
+CROP = 224
+
+
+def decode_image(path_or_url: str) -> np.ndarray:
+    """Decode an image file (or URL) to (H, W, 3) uint8 RGB.
+
+    Reference: download at lrcn.jl:752-754, load at :755, grayscale
+    promotion at :761-763.
+    """
+    from PIL import Image
+
+    path = path_or_url
+    if "://" in path_or_url:
+        suffix = os.path.splitext(path_or_url.split("?")[0])[1] or ".jpg"
+        fd, path = tempfile.mkstemp(suffix=suffix)
+        os.close(fd)
+        urllib.request.urlretrieve(path_or_url, path)
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+def resize_crop(image: np.ndarray) -> np.ndarray:
+    """Shortest-side-224 resize + center crop -> (224, 224, 3) uint8.
+
+    Uses the reference's integer resize arithmetic (lrcn.jl:756) and crop
+    offsets (lrcn.jl:757-759).
+    """
+    from PIL import Image
+
+    h, w = image.shape[:2]
+    m = min(h, w)
+    new_h, new_w = (h * CROP) // m, (w * CROP) // m
+    im = Image.fromarray(image).resize((new_w, new_h), Image.BILINEAR)
+    arr = np.asarray(im, np.uint8)
+    i0 = (new_h - CROP) // 2
+    j0 = (new_w - CROP) // 2
+    return arr[i0:i0 + CROP, j0:j0 + CROP]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def normalize_batch(images_u8: jax.Array, average_image: jax.Array
+                    ) -> jax.Array:
+    """(B, 224, 224, 3) uint8 -> float32, 255-scale minus mean image.
+
+    The reference loads 0..1 floats and computes ``255 * x - avg``
+    (lrcn.jl:771); uint8 pixels are already 255-scaled.
+    """
+    return images_u8.astype(jnp.float32) - average_image
+
+
+def preprocess(path_or_url: str, average_image: np.ndarray) -> jax.Array:
+    """Single-image pipeline -> (1, 224, 224, 3) float32 on device."""
+    img = resize_crop(decode_image(path_or_url))
+    return normalize_batch(jnp.asarray(img[None]),
+                           jnp.asarray(average_image, jnp.float32))
+
+
+def extract_features(
+    image_paths: dict[int, str],
+    vgg_params,
+    average_image: np.ndarray,
+    *,
+    store: FeatureStore | None = None,
+    batch_size: int = 64,
+    normalize: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> FeatureStore:
+    """Batched fc7 extraction into a FeatureStore (lrcn.jl:190-221).
+
+    Resumable: ids already present in ``store`` are skipped (lrcn.jl:203).
+    The last partial batch is padded to ``batch_size`` so the VGG jit
+    compiles exactly once.
+    """
+    from lrcn_tpu.models.vgg import vgg16_fc7
+
+    store = store if store is not None else FeatureStore(
+        normalized=normalize)
+    todo = store.missing(image_paths)
+    avg = jnp.asarray(average_image, jnp.float32)
+
+    for start in range(0, len(todo), batch_size):
+        ids = todo[start:start + batch_size]
+        imgs = np.stack([resize_crop(decode_image(image_paths[i]))
+                         for i in ids])
+        pad = batch_size - len(ids)
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        batch = normalize_batch(jnp.asarray(imgs), avg)
+        feats = np.asarray(vgg16_fc7(vgg_params, batch, compute_dtype),
+                           np.float32)[:len(ids)]
+        if normalize:
+            feats = l1_normalize(feats)
+        for i, f in zip(ids, feats):
+            store.add(i, f)
+    return store

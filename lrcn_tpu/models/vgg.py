@@ -1,0 +1,169 @@
+"""VGG-16 image encoder to fc7, TPU-first.
+
+Rebuilds the reference's MatConvNet-interpreter CNN (get_params_cnn /
+get_convnet, lrcn.jl:696-748) as a pure-JAX forward:
+
+- 13 3x3 convolutions (pad 1, CROSS-correlation — Knet ``mode=1``,
+  lrcn.jl:724) each followed by ReLU, with 2x2/stride-2 max pools after
+  blocks (conv 2,2,3,3,3 layout), then fc6 (7*7*512 -> 4096) + ReLU and
+  fc7 (4096 -> 4096);
+- the reference stops the layer walk AT fc7 (``last_layer="fc7"``,
+  lrcn.jl:697, break at :717) so **relu7 is NOT applied** — fc7 features can
+  be negative; we reproduce that exactly;
+- fc6 weights keep their (7, 7, 512, 4096) structure and contract against
+  the NHWC activation volume with one einsum — this sidesteps the
+  column-major ``mat()`` flattening the reference relies on (lrcn.jl:712,728)
+  instead of re-deriving a permutation;
+- TPU-first: NHWC layout, ``lax.conv_general_dilated`` on the MXU in
+  bfloat16 with float32 accumulation, ``lax.reduce_window`` max pools,
+  whole-network jit, arbitrary batch (the reference runs batch-1 per image,
+  lrcn.jl:190-221 — our extractor is batched, SURVEY.md §3.3).
+
+Weight import from the MatConvNet ``imagenet-vgg-verydeep-16.mat`` release
+(URL at lrcn.jl:22) reproduces the reference's load-time fixes: conv biases
+flattened (lrcn.jl:710), fc treated as dense (lrcn.jl:712), averageImage
+taken from normalization meta (lrcn.jl:113).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lrcn_tpu.ops.lstm import matmul
+
+# (name, out_channels) for the 13 conv layers; 'pool' marks 2x2/2 max pools.
+# Mirrors the MatConvNet layer list walked at lrcn.jl:701-718.
+VGG16_LAYOUT: tuple = (
+    ("conv1_1", 64), ("conv1_2", 64), "pool",
+    ("conv2_1", 128), ("conv2_2", 128), "pool",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), "pool",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), "pool",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), "pool",
+)
+
+FC6_DIM = 4096
+FC7_DIM = 4096
+
+Params = dict[str, Any]
+
+
+def init_vgg_params(key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random VGG-16 params (for tests/benchmarks without the .mat file)."""
+    params: Params = {}
+    c_in = 3
+    for entry in VGG16_LAYOUT:
+        if entry == "pool":
+            continue
+        name, c_out = entry
+        key, k = jax.random.split(key)
+        scale = np.sqrt(2.0 / (9 * c_in))
+        params[name] = {
+            "w": jax.random.normal(k, (3, 3, c_in, c_out), dtype) * scale,
+            "b": jnp.zeros((c_out,), dtype),
+        }
+        c_in = c_out
+    key, k6, k7 = jax.random.split(key, 3)
+    params["fc6"] = {
+        "w": jax.random.normal(k6, (7, 7, 512, FC6_DIM), dtype) * 0.01,
+        "b": jnp.zeros((FC6_DIM,), dtype),
+    }
+    params["fc7"] = {
+        "w": jax.random.normal(k7, (FC6_DIM, FC7_DIM), dtype) * 0.01,
+        "b": jnp.zeros((FC7_DIM,), dtype),
+    }
+    return params
+
+
+def _conv(x: jax.Array, w: jax.Array, b: jax.Array,
+          compute_dtype) -> jax.Array:
+    """3x3 pad-1 cross-correlation + bias, NHWC/HWIO, f32 accumulation."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), w.astype(compute_dtype),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + b.astype(jnp.float32)
+
+
+def _maxpool(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 max pool (Knet ``pool`` defaults, lrcn.jl:726)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding="VALID")
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def vgg16_fc7(params: Params, images: jax.Array,
+              compute_dtype=jnp.bfloat16) -> jax.Array:
+    """images (B, 224, 224, 3) preprocessed -> fc7 (B, 4096), NO relu7."""
+    x = images
+    for entry in VGG16_LAYOUT:
+        if entry == "pool":
+            x = _maxpool(x)
+        else:
+            name, _ = entry
+            p = params[name]
+            x = jax.nn.relu(_conv(x, p["w"], p["b"], compute_dtype))
+    # fc6: contract the (7,7,512) volume directly — no flatten-order dance.
+    w6, b6 = params["fc6"]["w"], params["fc6"]["b"]
+    x = jnp.einsum("bhwc,hwcf->bf", x.astype(compute_dtype),
+                   w6.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+    x = jax.nn.relu(x + b6.astype(jnp.float32))
+    # fc7 linear — the reference breaks BEFORE relu7 (lrcn.jl:717).
+    x = matmul(x, params["fc7"]["w"], compute_dtype)
+    return x + params["fc7"]["b"].astype(jnp.float32)
+
+
+def l1_normalize(feats: jax.Array) -> jax.Array:
+    """The reference's live-image normalization: x / sum(x) (lrcn.jl:597).
+
+    Note it divides by the plain sum (not the abs-sum); precomputed feature
+    files are expected to be pre-normalized the same way (``featsn.jld``
+    naming, lrcn.jl:121-123).
+    """
+    return feats / jnp.sum(feats, axis=-1, keepdims=True)
+
+
+def load_matconvnet(path: str) -> tuple[Params, np.ndarray]:
+    """Import ``imagenet-vgg-verydeep-16.mat`` -> (params, average_image).
+
+    Reproduces the reference's load-time fixes (lrcn.jl:697-721): walk the
+    layer list in order, collect weights for conv/fc layers, stop at fc7
+    inclusive.  fc6 keeps its (7,7,512,4096) conv structure; fc7 (1,1,4096,
+    4096) is squeezed to a dense (4096,4096).
+    """
+    from scipy.io import loadmat
+
+    mat = loadmat(path, simplify_cells=True)
+    layers = mat["layers"]
+    params: Params = {}
+    for layer in layers:
+        name = str(layer["name"])
+        if not (name.startswith("conv") or name.startswith("fc")):
+            continue
+        w, b = layer["weights"][0], layer["weights"][1]
+        b = np.asarray(b, np.float32).reshape(-1)
+        w = np.asarray(w, np.float32)
+        if name == "fc6":
+            w = w.reshape(7, 7, 512, FC6_DIM)
+        elif name.startswith("fc"):
+            w = w.reshape(-1, w.shape[-1])
+        params[name] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+        if name == "fc7":
+            break
+    avg = np.asarray(
+        mat["meta"]["normalization"]["averageImage"], np.float32)
+    if avg.ndim == 1:  # some releases store a per-channel mean
+        avg = np.broadcast_to(avg, (224, 224, 3)).copy()
+    return params, avg
+
+
+def vgg_param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

@@ -1,0 +1,120 @@
+"""Multi-device sharding tests on a virtual 8-device CPU mesh.
+
+The reference has no distributed anything (SURVEY.md §2, parallelism table);
+these tests validate the pure-addition DP/TP path: correctness vs. the
+single-device trainer and param-sync invariants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lrcn_tpu.config import LRCNConfig
+from lrcn_tpu.models import lrcn
+from lrcn_tpu.parallel import ShardedTrainStep, make_mesh, shard_params
+from lrcn_tpu.train.trainer import Trainer, make_optimizer
+
+
+def small_cfg(**kw):
+    base = dict(hidden=(32, 32), embed=24, cnn_feature_dim=64, vocab_size=48,
+                batch_size=8, dropout=0.0, compute_dtype="float32", seed=7)
+    base.update(kw)
+    return LRCNConfig(**base)
+
+
+def make_batch(cfg, rng, batch=8, length=7):
+    tokens = rng.integers(3, cfg.vocab_size, (batch, length)).astype(np.int32)
+    lengths = rng.integers(3, length + 1, (batch,)).astype(np.int32)
+    feats = rng.standard_normal(
+        (batch, cfg.cnn_feature_dim)).astype(np.float32)
+    return tokens, lengths, feats
+
+
+def test_make_mesh_wildcard():
+    mesh = make_mesh((-1, 2))
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
+    with pytest.raises(ValueError):
+        make_mesh((16, 1))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_step_matches_single_device(mesh_shape):
+    """DP/TP sharded step computes the same loss+params as one device."""
+    cfg = small_cfg()
+    rng = np.random.default_rng(0)
+    tokens, lengths, feats = make_batch(cfg, rng)
+    key = jax.random.PRNGKey(1)
+    step_key = jax.random.PRNGKey(2)
+
+    # single-device reference
+    trainer = Trainer(cfg, vocab=None)
+    params0, opt0 = trainer.init(key)
+    p1, o1, loss1 = trainer._train_step(
+        jax.tree.map(jnp.copy, params0), jax.tree.map(jnp.copy, opt0),
+        jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(feats),
+        step_key)
+
+    mesh = make_mesh(mesh_shape)
+    sstep = ShardedTrainStep(cfg, make_optimizer(cfg), mesh)
+    sp = sstep.shard_params(params0)
+    so = sstep.init_opt(sp)
+    p2, o2, loss2 = sstep(sp, so, *sstep.shard_batch(tokens, lengths, feats),
+                          step_key)
+
+    assert np.allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_param_shardings_are_applied():
+    cfg = small_cfg()
+    mesh = make_mesh((4, 2))
+    params = shard_params(
+        lrcn.init_params(jax.random.PRNGKey(0), cfg), mesh)
+    assert params["w_out"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(None, "model")), 2)
+    assert params["embedding"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("model", None)), 2)
+    assert params["lstm1"]["w"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P()), 2)
+
+
+def test_opt_state_inherits_sharding():
+    cfg = small_cfg()
+    mesh = make_mesh((4, 2))
+    sstep = ShardedTrainStep(cfg, make_optimizer(cfg), mesh)
+    params = sstep.shard_params(
+        lrcn.init_params(jax.random.PRNGKey(0), cfg))
+    opt_state = sstep.init_opt(params)
+    mus = [s for s in jax.tree.leaves(opt_state)
+           if hasattr(s, "sharding") and s.ndim == 2
+           and s.shape == params["w_out"].shape]
+    assert mus, "expected Adam moments shaped like w_out"
+    for m in mus:
+        assert m.sharding.is_equivalent_to(
+            NamedSharding(mesh, P(None, "model")), 2)
+
+
+def test_multi_step_training_reduces_loss():
+    cfg = small_cfg(lr=1e-2)
+    rng = np.random.default_rng(3)
+    tokens, lengths, feats = make_batch(cfg, rng, batch=16)
+    mesh = make_mesh((4, 2))
+    sstep = ShardedTrainStep(cfg, make_optimizer(cfg), mesh)
+    params = sstep.shard_params(
+        lrcn.init_params(jax.random.PRNGKey(0), cfg))
+    opt_state = sstep.init_opt(params)
+    batch = sstep.shard_batch(tokens, lengths, feats)
+    losses = []
+    key = jax.random.PRNGKey(9)
+    for _ in range(30):
+        key, sk = jax.random.split(key)
+        params, opt_state, loss = sstep(params, opt_state, *batch, sk)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    total, count = sstep.eval_batch(params, *batch)
+    assert float(total) / float(count) < losses[0]
