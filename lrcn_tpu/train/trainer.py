@@ -45,17 +45,31 @@ def make_optimizer(cfg: LRCNConfig) -> optax.GradientTransformation:
 
 
 class Trainer:
+    """Single-device by default; pass ``mesh`` to train sharded (DP x TP).
+
+    With a mesh, steps route through ``parallel.ShardedTrainStep``: the
+    batch shards over the ``data`` axis and the vocab-sized params over
+    ``model`` (the reference has no multi-device story; SURVEY.md §2).
+    """
+
     def __init__(self, cfg: LRCNConfig, vocab: Vocab,
-                 metrics: MetricsLogger | None = None):
+                 metrics: MetricsLogger | None = None, mesh=None):
         self.cfg = cfg
         self.vocab = vocab
         self.metrics = metrics or MetricsLogger()
         self.opt = make_optimizer(cfg)
         self._compute_dtype = jnp.dtype(cfg.compute_dtype)
-        self._train_step = jax.jit(
-            functools.partial(self._step_impl, pdrop=cfg.dropout),
-            donate_argnums=(0, 1))
-        self._eval_step = jax.jit(self._eval_impl)
+        self._sharded = None
+        if mesh is not None:
+            from lrcn_tpu.parallel.train import ShardedTrainStep
+            self._sharded = ShardedTrainStep(cfg, self.opt, mesh)
+            self._train_step = self._sharded
+            self._eval_step = self._sharded.eval_batch
+        else:
+            self._train_step = jax.jit(
+                functools.partial(self._step_impl, pdrop=cfg.dropout),
+                donate_argnums=(0, 1))
+            self._eval_step = jax.jit(self._eval_impl)
 
     # --- jitted kernels ---
 
@@ -76,13 +90,23 @@ class Trainer:
 
     def init(self, rng: jax.Array):
         params = lrcn.init_params(rng, self.cfg)
+        if self._sharded is not None:
+            params = self._sharded.shard_params(params)
+            return params, self._sharded.init_opt(params)
         return params, self.opt.init(params)
 
     def _device_batches(self, batches, store: FeatureStore,
                         rng: np.random.Generator | None):
-        def transform(batch: Batch):
-            return (jnp.asarray(batch.tokens), jnp.asarray(batch.lengths),
-                    jnp.asarray(store.gather(batch.image_ids), jnp.float32))
+        if self._sharded is not None:
+            shard = self._sharded.shard_batch
+            transform = lambda b: shard(
+                b.tokens, b.lengths, store.gather(b.image_ids))
+        else:
+            def transform(batch: Batch):
+                return (jnp.asarray(batch.tokens),
+                        jnp.asarray(batch.lengths),
+                        jnp.asarray(store.gather(batch.image_ids),
+                                    jnp.float32))
         return prefetch_to_device(iterate_epoch(batches, rng), size=2,
                                   transform=transform)
 
