@@ -70,9 +70,10 @@ def _gather_beams(x: jax.Array, parent: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("beam_width", "max_words",
-                                    "compute_dtype"))
+                                    "compute_dtype", "use_pallas"))
 def beam_search(params: Params, feats: jax.Array, *, beam_width: int = 3,
-                max_words: int = 30, compute_dtype=jnp.bfloat16
+                max_words: int = 30, compute_dtype=jnp.bfloat16,
+                use_pallas: bool = False
                 ) -> tuple[jax.Array, jax.Array]:
     """Batched beam search from fc7 features.
 
@@ -120,7 +121,7 @@ def beam_search(params: Params, feats: jax.Array, *, beam_width: int = 3,
         flat_state = LSTMState(*(s.reshape(b_dim * k, -1) for s in c.state))
         new_flat, logits = lrcn.decode_step(
             params, flat_state, last.reshape(b_dim * k), cnn_flat,
-            compute_dtype)
+            compute_dtype, use_pallas=use_pallas)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         cand = c.scores[:, :, None] + logp.reshape(b_dim, k, vocab_size)
 
@@ -150,9 +151,10 @@ def beam_search(params: Params, feats: jax.Array, *, beam_width: int = 3,
     return final.tokens[:, 0, :], final.scores[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("max_words", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("max_words", "compute_dtype",
+                                             "use_pallas"))
 def greedy_search(params: Params, feats: jax.Array, *, max_words: int = 30,
-                  compute_dtype=jnp.bfloat16
+                  compute_dtype=jnp.bfloat16, use_pallas: bool = False
                   ) -> tuple[jax.Array, jax.Array]:
     """Batched greedy (argmax) decoding — beam search with K=1 semantics,
     implemented directly for speed (no beam axis, no top_k)."""
@@ -174,7 +176,8 @@ def greedy_search(params: Params, feats: jax.Array, *, max_words: int = 30,
         last = jax.lax.dynamic_index_in_dim(tokens, step, axis=1,
                                             keepdims=False)
         new_state, logits = lrcn.decode_step(params, state, last, cnn_proj,
-                                             compute_dtype)
+                                             compute_dtype,
+                                             use_pallas=use_pallas)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         word = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         step_score = jnp.take_along_axis(logp, word[:, None], axis=1)[:, 0]

@@ -55,13 +55,53 @@ class BleuResult:
                     self.hyp_len, self.ref_len))
 
 
+def _counts_native(hypotheses, references, lowercase):
+    """Accumulate BLEU statistics in the C++ core (native/bleu.cpp).
+
+    Returns (correct, total, hyp_len, ref_len) like the Python loop, or
+    None if the native library is unavailable.  Lowercasing happens here in
+    Python (Unicode-correct) so the byte-level core sees final text.
+    """
+    import ctypes
+
+    from lrcn_tpu.native import bleu_library
+
+    lib = bleu_library()
+    if lib is None:
+        return None
+    enc = lambda s: s.encode("utf-8", errors="surrogateescape")
+    stats = lib.lrcn_bleu_stats_new()
+    try:
+        for s, hyp in enumerate(hypotheses):
+            refs = references[s] if s < len(references) else []
+            if lowercase:
+                hyp = hyp.lower()
+                refs = [r.lower() for r in refs]
+            ref_arr = (ctypes.c_char_p * len(refs))(*map(enc, refs))
+            lib.lrcn_bleu_accumulate(stats, enc(hyp), ref_arr,
+                                     len(refs), 0)
+        out = (ctypes.c_longlong * 10)()
+        lib.lrcn_bleu_get(stats, out)
+    finally:
+        lib.lrcn_bleu_stats_free(stats)
+    correct = [0] + list(out[0:4])
+    total = [0] + list(out[4:8])
+    return correct, total, int(out[8]), int(out[9])
+
+
 def multi_bleu(hypotheses: Sequence[str],
                references: Sequence[Sequence[str]],
                lowercase: bool = False) -> BleuResult:
     """Score hypothesis lines against per-sentence reference lists.
 
     ``references[s]`` is the list of reference strings for hypothesis ``s``.
+    Uses the C++ statistics core when available (LRCN_NATIVE=0 disables);
+    the Python loop below is the reference implementation and fallback.
     """
+    native = _counts_native(hypotheses, references, lowercase)
+    if native is not None:
+        return _finalize(*native)
+
     correct = [0] * 5   # 1-indexed by n
     total = [0] * 5
     length_translation = 0
@@ -103,6 +143,11 @@ def multi_bleu(hypotheses: Sequence[str],
                 if r is not None:
                     correct[n] += c if r >= c else r
 
+    return _finalize(correct, total, length_translation, length_reference)
+
+
+def _finalize(correct, total, length_translation, length_reference
+              ) -> BleuResult:
     if length_reference == 0:
         return BleuResult((0.0, 0.0, 0.0, 0.0), 0.0, 0.0, 0, 0)
 

@@ -52,14 +52,22 @@ FC7_DIM = 4096
 Params = dict[str, Any]
 
 
-def init_vgg_params(key: jax.Array, dtype=jnp.float32) -> Params:
-    """Random VGG-16 params (for tests/benchmarks without the .mat file)."""
+def init_vgg_params(key: jax.Array, dtype=jnp.float32,
+                    width_multiplier: float = 1.0,
+                    fc_dim: int | None = None) -> Params:
+    """Random VGG-16 params (for tests/benchmarks without the .mat file).
+
+    ``width_multiplier``/``fc_dim`` scale channel widths down for fast CPU
+    tests; the forward derives every shape from the params themselves, so
+    full size is simply the default.
+    """
     params: Params = {}
     c_in = 3
     for entry in VGG16_LAYOUT:
         if entry == "pool":
             continue
         name, c_out = entry
+        c_out = max(8, int(c_out * width_multiplier))
         key, k = jax.random.split(key)
         scale = np.sqrt(2.0 / (9 * c_in))
         params[name] = {
@@ -68,13 +76,15 @@ def init_vgg_params(key: jax.Array, dtype=jnp.float32) -> Params:
         }
         c_in = c_out
     key, k6, k7 = jax.random.split(key, 3)
+    fc6_dim = fc_dim or FC6_DIM
+    fc7_dim = fc_dim or FC7_DIM
     params["fc6"] = {
-        "w": jax.random.normal(k6, (7, 7, 512, FC6_DIM), dtype) * 0.01,
-        "b": jnp.zeros((FC6_DIM,), dtype),
+        "w": jax.random.normal(k6, (7, 7, c_in, fc6_dim), dtype) * 0.01,
+        "b": jnp.zeros((fc6_dim,), dtype),
     }
     params["fc7"] = {
-        "w": jax.random.normal(k7, (FC6_DIM, FC7_DIM), dtype) * 0.01,
-        "b": jnp.zeros((FC7_DIM,), dtype),
+        "w": jax.random.normal(k7, (fc6_dim, fc7_dim), dtype) * 0.01,
+        "b": jnp.zeros((fc7_dim,), dtype),
     }
     return params
 
@@ -98,10 +108,10 @@ def _maxpool(x: jax.Array) -> jax.Array:
         padding="VALID")
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def vgg16_fc7(params: Params, images: jax.Array,
-              compute_dtype=jnp.bfloat16) -> jax.Array:
-    """images (B, 224, 224, 3) preprocessed -> fc7 (B, 4096), NO relu7."""
+def vgg16_fc7_fn(params: Params, images: jax.Array,
+                 compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Un-jitted forward — composable into larger jitted programs
+    (the joint fine-tune step wraps it in jax.checkpoint)."""
     x = images
     for entry in VGG16_LAYOUT:
         if entry == "pool":
@@ -119,6 +129,13 @@ def vgg16_fc7(params: Params, images: jax.Array,
     # fc7 linear — the reference breaks BEFORE relu7 (lrcn.jl:717).
     x = matmul(x, params["fc7"]["w"], compute_dtype)
     return x + params["fc7"]["b"].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def vgg16_fc7(params: Params, images: jax.Array,
+              compute_dtype=jnp.bfloat16) -> jax.Array:
+    """images (B, 224, 224, 3) preprocessed -> fc7 (B, 4096), NO relu7."""
+    return vgg16_fc7_fn(params, images, compute_dtype)
 
 
 def l1_normalize(feats: jax.Array) -> jax.Array:

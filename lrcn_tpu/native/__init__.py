@@ -1,0 +1,79 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference's native performance lives in external runtimes (Knet/CUDA for
+compute, a Perl process for BLEU scoring — SURVEY.md §2 "Native components").
+Here the TPU compute path is XLA/Pallas; the host-side runtime pieces are
+C++ in this package:
+
+- ``bleu.cpp``  — multi-bleu statistics core (replaces the Perl subprocess).
+
+Libraries build on first use with the system toolchain (g++ -O3 -shared)
+into ``_build/`` next to the sources; every consumer has a pure-Python
+fallback, so a missing toolchain degrades gracefully.  Set
+``LRCN_NATIVE=0`` to disable native paths entirely.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_BUILD_DIR = os.path.join(_DIR, "_build")
+_LOCK = threading.Lock()
+_CACHE: dict[str, ctypes.CDLL | None] = {}
+
+
+def native_enabled() -> bool:
+    return os.environ.get("LRCN_NATIVE", "1") != "0"
+
+
+def _build(name: str) -> str | None:
+    src = os.path.join(_DIR, f"{name}.cpp")
+    lib = os.path.join(_BUILD_DIR, f"lib{name}.so")
+    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+        return lib
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", lib, src]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+    return lib
+
+
+def load_library(name: str) -> ctypes.CDLL | None:
+    """Build (if needed) and dlopen lib<name>.so; None if unavailable."""
+    if not native_enabled():
+        return None
+    with _LOCK:
+        if name in _CACHE:
+            return _CACHE[name]
+        lib_path = _build(name)
+        lib = None
+        if lib_path is not None:
+            try:
+                lib = ctypes.CDLL(lib_path)
+            except OSError:
+                lib = None
+        _CACHE[name] = lib
+        return lib
+
+
+def bleu_library() -> ctypes.CDLL | None:
+    """The BLEU core with argtypes configured, or None."""
+    lib = load_library("bleu")
+    if lib is None:
+        return None
+    if not getattr(lib, "_lrcn_configured", False):
+        lib.lrcn_bleu_stats_new.restype = ctypes.c_void_p
+        lib.lrcn_bleu_stats_free.argtypes = [ctypes.c_void_p]
+        lib.lrcn_bleu_accumulate.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int]
+        lib.lrcn_bleu_get.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_longlong)]
+        lib._lrcn_configured = True
+    return lib

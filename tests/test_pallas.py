@@ -1,0 +1,89 @@
+"""Pallas fused LSTM step: correctness vs the XLA reference cell.
+
+Runs in interpreter mode on CPU (tests use the virtual-CPU backend); the
+same kernel compiles for real TPU via Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lrcn_tpu.ops.lstm import lstm_step
+from lrcn_tpu.ops.pallas import fused_lstm_step
+
+
+@pytest.mark.parametrize("b_dim,x_dim,h_dim", [
+    (4, 24, 32),          # tiny, unaligned
+    (128, 256, 128),      # aligned
+    (96, 1000, 1000),     # reference-scale dims, unaligned
+])
+def test_fused_lstm_step_matches_xla(b_dim, x_dim, h_dim):
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((x_dim + h_dim, 4 * h_dim)) * 0.05,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4 * h_dim,)) * 0.1, jnp.float32)
+    h = jnp.asarray(rng.standard_normal((b_dim, h_dim)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((b_dim, h_dim)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b_dim, x_dim)), jnp.float32)
+
+    h_ref, c_ref = lstm_step(w, b, h, c, x, compute_dtype=jnp.float32)
+    h_out, c_out = fused_lstm_step(w, b, h, c, x,
+                                   compute_dtype=jnp.float32,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_out), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_lstm_step_bf16_close_to_xla_bf16():
+    rng = np.random.default_rng(1)
+    b_dim, x_dim, h_dim = 32, 200, 160
+    w = jnp.asarray(rng.standard_normal((x_dim + h_dim, 4 * h_dim)) * 0.05,
+                    jnp.float32)
+    b = jnp.asarray(np.zeros(4 * h_dim), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((b_dim, h_dim)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((b_dim, h_dim)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b_dim, x_dim)), jnp.float32)
+
+    h_ref, c_ref = lstm_step(w, b, h, c, x, compute_dtype=jnp.bfloat16)
+    h_out, c_out = fused_lstm_step(w, b, h, c, x,
+                                   compute_dtype=jnp.bfloat16,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(c_out), np.asarray(c_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        fused_lstm_step(jnp.zeros((10, 12)), jnp.zeros((12,)),
+                        jnp.zeros((2, 3)), jnp.zeros((2, 3)),
+                        jnp.zeros((2, 4)), interpret=True)
+
+
+def test_beam_search_pallas_path_matches_xla():
+    """use_pallas decode produces identical tokens (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lrcn_tpu.config import LRCNConfig
+    from lrcn_tpu.decode.beam import beam_search
+    from lrcn_tpu.models import lrcn as lrcn_model
+
+    cfg = LRCNConfig(hidden=(32, 32), embed=24, cnn_feature_dim=48,
+                     vocab_size=50, compute_dtype="float32")
+    params = lrcn_model.init_params(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (4, 48))
+
+    ref_tokens, ref_scores = beam_search(
+        params, feats, beam_width=3, max_words=8,
+        compute_dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        tok, scores = beam_search(
+            params, feats, beam_width=3, max_words=8,
+            compute_dtype=jnp.float32, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tokens))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                               rtol=1e-5, atol=1e-5)
