@@ -128,3 +128,79 @@ def test_max_words_cap(setup):
     tokens, _ = beam_search(params, jnp.asarray(feats), beam_width=3,
                             max_words=4, compute_dtype=jnp.float32)
     assert tokens.shape == (feats.shape[0], 6)
+
+
+class TestSampling:
+    """Temperature sampling + best-of-N (decode/sample.py)."""
+
+    def _setup(self):
+        from lrcn_tpu.config import LRCNConfig
+        from lrcn_tpu.models import lrcn as lrcn_model
+        cfg = LRCNConfig(hidden=(32, 32), embed=24, cnn_feature_dim=40,
+                         vocab_size=60, compute_dtype="float32")
+        params = lrcn_model.init_params(jax.random.PRNGKey(0), cfg)
+        feats = jax.random.normal(jax.random.PRNGKey(1), (6, 40))
+        return params, feats
+
+    def test_sample_shapes_and_determinism(self):
+        from lrcn_tpu.decode.sample import sample_search
+        params, feats = self._setup()
+        t1, s1 = sample_search(params, feats, jax.random.PRNGKey(7),
+                               temperature=1.5, max_words=10,
+                               compute_dtype=jnp.float32)
+        t2, s2 = sample_search(params, feats, jax.random.PRNGKey(7),
+                               temperature=1.5, max_words=10,
+                               compute_dtype=jnp.float32)
+        assert t1.shape == (6, 12)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        assert np.all(np.asarray(t1)[:, 0] == 1)  # BOS column
+        # different seed -> different draws (overwhelmingly likely)
+        t3, _ = sample_search(params, feats, jax.random.PRNGKey(8),
+                              temperature=1.5, max_words=10,
+                              compute_dtype=jnp.float32)
+        assert not np.array_equal(np.asarray(t1), np.asarray(t3))
+
+    def test_sample_scores_are_true_logprobs(self):
+        from lrcn_tpu.decode.sample import sample_search
+        from lrcn_tpu.core.vocab import EOS_ID
+        from lrcn_tpu.models import lrcn as lrcn_model
+        params, feats = self._setup()
+        tokens, scores = sample_search(params, feats, jax.random.PRNGKey(3),
+                                       temperature=2.0, max_words=8,
+                                       compute_dtype=jnp.float32)
+        # re-score row 0's emitted prefix by teacher forcing
+        row = np.asarray(tokens)[0]
+        emitted = []
+        for t in row[1:]:
+            emitted.append(int(t))
+            if int(t) == EOS_ID:
+                break
+        state = lrcn_model.init_state(
+            __import__("lrcn_tpu.config", fromlist=["LRCNConfig"]
+                       ).LRCNConfig(hidden=(32, 32), embed=24,
+                                    cnn_feature_dim=40, vocab_size=60), 1)
+        cnn = lrcn_model.cnn_projection(params, feats[:1], jnp.float32)
+        prev = jnp.asarray([1], jnp.int32)
+        total = 0.0
+        for t in emitted:
+            state, logits = lrcn_model.decode_step(params, state, prev, cnn,
+                                                   jnp.float32)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            total += float(logp[0, t])
+            prev = jnp.asarray([t], jnp.int32)
+        np.testing.assert_allclose(total, float(scores[0]), rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_best_of_n_beats_single_sample(self):
+        from lrcn_tpu.decode.sample import best_of_n_search, sample_search
+        params, feats = self._setup()
+        tb, sb = best_of_n_search(params, feats, jax.random.PRNGKey(5),
+                                  n_samples=8, temperature=2.0,
+                                  max_words=8, compute_dtype=jnp.float32)
+        t1, s1 = sample_search(params, feats, jax.random.PRNGKey(5),
+                               temperature=2.0, max_words=8,
+                               compute_dtype=jnp.float32)
+        assert tb.shape == (6, 10)
+        # best-of-8 is better on average than a single draw (statistical:
+        # the draws are independent streams, so compare means, not rows)
+        assert np.mean(np.asarray(sb)) > np.mean(np.asarray(s1)) - 1e-5
