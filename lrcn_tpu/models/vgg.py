@@ -119,7 +119,12 @@ def vgg16_fc7_fn(params: Params, images: jax.Array,
         else:
             name, _ = entry
             p = params[name]
-            x = jax.nn.relu(_conv(x, p["w"], p["b"], compute_dtype))
+            # keep inter-layer activations in the compute dtype: the early
+            # feature maps are huge (224^2 x 64 = 1.6 GB at B=256 in bf16)
+            # and HBM bandwidth, not FLOPs, bounds those layers; the cast
+            # fuses into the conv epilogue (accumulation stays f32)
+            x = jax.nn.relu(_conv(x, p["w"], p["b"], compute_dtype)
+                            ).astype(compute_dtype)
     # fc6: contract the (7,7,512) volume directly — no flatten-order dance.
     w6, b6 = params["fc6"]["w"], params["fc6"]["b"]
     x = jnp.einsum("bhwc,hwcf->bf", x.astype(compute_dtype),

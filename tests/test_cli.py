@@ -126,3 +126,64 @@ def test_console_script_entrypoint():
                          capture_output=True, text=True, cwd="/tmp")
     assert out.returncode == 0
     assert "train" in out.stdout and "extract-features" in out.stdout
+
+
+def test_caption_single_image(tmp_path, synthetic):
+    """End-to-end single-image captioning: .mat import -> VGG -> beam."""
+    import numpy as np
+    from PIL import Image
+    from scipy.io import savemat
+
+    from lrcn_tpu.models import vgg as vgg_mod
+
+    # synthetic MatConvNet file (full-size layer list, random weights)
+    rng = np.random.default_rng(0)
+    layers, c_in = [], 3
+    for entry in vgg_mod.VGG16_LAYOUT:
+        if entry == "pool":
+            layers.append({"name": "pool", "type": "pool"})
+            continue
+        name, c_out = entry
+        layers.append({"name": name, "type": "conv", "weights": np.array(
+            [rng.standard_normal((3, 3, c_in, c_out)).astype(np.float32)
+             * 0.05,
+             np.zeros((c_out, 1), np.float32)], dtype=object)})
+        layers.append({"name": "relu" + name[4:], "type": "relu"})
+        c_in = c_out
+    for name, shape, d_out in [("fc6", (7, 7, 512, 4096), 4096),
+                               ("fc7", (1, 1, 4096, 4096), 4096)]:
+        layers.append({"name": name, "type": "conv", "weights": np.array(
+            [rng.standard_normal(shape).astype(np.float32) * 0.01,
+             np.zeros((d_out, 1), np.float32)], dtype=object)})
+        layers.append({"name": "relu" + name[2:], "type": "relu"})
+    mat_path = str(tmp_path / "vgg.mat")
+    savemat(mat_path, {
+        "layers": np.array(layers, dtype=object),
+        "meta": {"normalization": {
+            "averageImage": np.full((224, 224, 3), 120, np.float32)}},
+    })
+
+    img_path = str(tmp_path / "cat.png")
+    Image.fromarray(rng.integers(0, 255, (260, 300, 3)).astype(np.uint8)
+                    ).save(img_path)
+
+    # a checkpoint whose decoder takes 4096-dim features
+    import jax
+
+    from lrcn_tpu.config import LRCNConfig
+    from lrcn_tpu.core.vocab import Vocab
+    from lrcn_tpu.models import lrcn as lrcn_model
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, cnn_feature_dim=4096,
+                     vocab_size=0, compute_dtype="float32")
+    vocab = Vocab(WORDS)
+    cfg.vocab_size = len(vocab)
+    params = lrcn_model.init_params(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "cap_ckpt")
+    save_checkpoint(ckpt, params, vocab, cfg)
+
+    rc = cli.main(["caption", img_path, "--loadfile", ckpt,
+                   "--cnn", mat_path, "--generate", "5",
+                   "--beam_width", "2", "--compute-dtype", "float32"])
+    assert rc == 0
