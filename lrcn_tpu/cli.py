@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--generate", type=int, default=30, dest="max_words",
                    help="max words per caption (reference --generate)")
     p.add_argument("--beam_width", type=int, default=3)
+    p.add_argument("--sample", type=int, default=0, metavar="N",
+                   help="instead of beam search, draw N samples per image "
+                        "and keep the model-preferred one (the paper's "
+                        "'sample N' strategy; reference helpers "
+                        "lrcn.jl:680-693)")
+    p.add_argument("--temperature", type=float, default=2.0,
+                   help="softmax temperature for --sample")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--out", default="candidates.txt")
     p.add_argument("--ids-out", default="candidate_ids.txt")
@@ -240,10 +247,13 @@ def cmd_generate(args) -> int:
     store = FeatureStore.load(args.features)
     rng = np.random.default_rng(args.seed if args.seed > 0 else None)
     ids = pick_eval_ids(store.ids(), args.capnumber, rng)
+    import jax
     import jax.numpy as jnp
     lines = generate_captions(
         params, vocab, store, ids, beam_width=args.beam_width,
         max_words=args.max_words, batch_size=args.batch_size,
+        sample_n=args.sample, temperature=args.temperature,
+        rng=jax.random.PRNGKey(max(args.seed, 0)),
         compute_dtype=jnp.dtype(args.compute_dtype))
     write_candidate_files(lines, ids, args.out, args.ids_out)
     print(f"wrote {len(lines)} captions to {args.out}")

@@ -41,17 +41,25 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
                       image_ids: Sequence[int], *, beam_width: int = 3,
                       max_words: int = 30, batch_size: int = 64,
                       normalize: bool | None = None,
+                      sample_n: int = 0, temperature: float = 2.0,
+                      rng=None,
                       compute_dtype=jnp.bfloat16) -> list[str]:
-    """Beam-decode captions for ``image_ids`` in device batches.
+    """Decode captions for ``image_ids`` in device batches.
+
+    Strategies: beam search (default), greedy (``beam_width=1``), or the
+    paper's best-of-N sampling (``sample_n > 0`` with ``temperature``).
 
     ``normalize``: L1-normalize features on the fly; defaults to skipping
     normalization when the store says it is already normalized (the
     reference's ``featsn`` files are pre-normalized; the live-CNN path
     normalizes at lrcn.jl:597).
     """
+    import jax
+
     if normalize is None:
         normalize = not store.normalized
-    decode = (greedy_search if beam_width == 1 else beam_search)
+    if sample_n > 0 and rng is None:
+        rng = jax.random.PRNGKey(0)
 
     lines: list[str] = []
     n = len(image_ids)
@@ -63,14 +71,21 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
         feats = store.gather(ids).astype(np.float32)
         if normalize:
             feats = l1_normalize(feats)
-        if beam_width == 1:
-            tokens, _ = decode(params, jnp.asarray(feats),
-                               max_words=max_words,
-                               compute_dtype=compute_dtype)
+        feats = jnp.asarray(feats)
+        if sample_n > 0:
+            from lrcn_tpu.decode.sample import best_of_n_search
+            rng, k = jax.random.split(rng)
+            tokens, _ = best_of_n_search(
+                params, feats, k, n_samples=sample_n,
+                temperature=temperature, max_words=max_words,
+                compute_dtype=compute_dtype)
+        elif beam_width == 1:
+            tokens, _ = greedy_search(params, feats, max_words=max_words,
+                                      compute_dtype=compute_dtype)
         else:
-            tokens, _ = decode(params, jnp.asarray(feats),
-                               beam_width=beam_width, max_words=max_words,
-                               compute_dtype=compute_dtype)
+            tokens, _ = beam_search(params, feats, beam_width=beam_width,
+                                    max_words=max_words,
+                                    compute_dtype=compute_dtype)
         tokens = np.asarray(tokens)
         lines.extend(caption_to_line(tokens[i], vocab)
                      for i in range(n_real))

@@ -91,13 +91,20 @@ def init_vgg_params(key: jax.Array, dtype=jnp.float32,
 
 def _conv(x: jax.Array, w: jax.Array, b: jax.Array,
           compute_dtype) -> jax.Array:
-    """3x3 pad-1 cross-correlation + bias, NHWC/HWIO, f32 accumulation."""
+    """3x3 pad-1 cross-correlation + bias, NHWC/HWIO.
+
+    The MXU accumulates bf16 convs in f32 regardless; emitting the result
+    directly in the compute dtype halves the HBM write AND the read of the
+    bias+ReLU elementwise pass that follows — profiling shows those passes,
+    not the convolutions, dominate VGG time on TPU (the 224^2 feature maps
+    are bandwidth-bound).
+    """
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w.astype(compute_dtype),
         window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return y + b.astype(jnp.float32)
+        preferred_element_type=compute_dtype)
+    return y + b.astype(compute_dtype)
 
 
 def _maxpool(x: jax.Array) -> jax.Array:
@@ -119,12 +126,7 @@ def vgg16_fc7_fn(params: Params, images: jax.Array,
         else:
             name, _ = entry
             p = params[name]
-            # keep inter-layer activations in the compute dtype: the early
-            # feature maps are huge (224^2 x 64 = 1.6 GB at B=256 in bf16)
-            # and HBM bandwidth, not FLOPs, bounds those layers; the cast
-            # fuses into the conv epilogue (accumulation stays f32)
-            x = jax.nn.relu(_conv(x, p["w"], p["b"], compute_dtype)
-                            ).astype(compute_dtype)
+            x = jax.nn.relu(_conv(x, p["w"], p["b"], compute_dtype))
     # fc6: contract the (7,7,512) volume directly — no flatten-order dance.
     w6, b6 = params["fc6"]["w"], params["fc6"]["b"]
     x = jnp.einsum("bhwc,hwcf->bf", x.astype(compute_dtype),

@@ -187,3 +187,21 @@ def test_caption_single_image(tmp_path, synthetic):
                    "--cnn", mat_path, "--generate", "5",
                    "--beam_width", "2", "--compute-dtype", "float32"])
     assert rc == 0
+
+
+def test_generate_with_sampling(synthetic, tmp_path):
+    """--sample N routes generation through best-of-N sampling."""
+    ckpt = str(synthetic["tmp"] / "ckpt")   # trained by the workflow test
+    if not os.path.exists(os.path.join(ckpt, "params.npz")):
+        pytest.skip("workflow test has not produced a checkpoint")
+    cand = str(tmp_path / "cand_sample.txt")
+    ids = str(tmp_path / "ids_sample.txt")
+    rc = cli.main([
+        "generate", "--loadfile", ckpt, "--features", synthetic["feats"],
+        "--capnumber", "10", "--generate", "8", "--sample", "4",
+        "--temperature", "1.5", "--batch-size", "10",
+        "--out", cand, "--ids-out", ids, "--seed", "11",
+        "--compute-dtype", "float32"])
+    assert rc == 0
+    lines = open(cand).read().splitlines()
+    assert len(lines) == 10 and all(l.endswith(".") for l in lines)

@@ -118,3 +118,17 @@ def test_multi_step_training_reduces_loss():
     assert losses[-1] < losses[0] * 0.5, losses[::10]
     total, count = sstep.eval_batch(params, *batch)
     assert float(total) / float(count) < losses[0]
+
+
+def test_host_local_batch_single_process():
+    from lrcn_tpu.parallel.distributed import host_local_batch, initialize
+    initialize()  # no-op single-process
+    mesh = make_mesh((8, 1))
+    batch = {"tokens": np.arange(32).reshape(8, 4),
+             "lengths": np.ones(8, np.int32)}
+    out = host_local_batch(mesh, batch)
+    assert out["tokens"].shape == (8, 4)
+    assert out["tokens"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), 2)
+    np.testing.assert_array_equal(np.asarray(out["tokens"]),
+                                  batch["tokens"])
