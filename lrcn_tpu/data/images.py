@@ -73,6 +73,45 @@ def resize_crop(image: np.ndarray) -> np.ndarray:
     return arr[i0:i0 + CROP, j0:j0 + CROP]
 
 
+def load_batch_native(paths: Sequence[str], n_threads: int | None = None
+                      ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Decode+resize+crop a batch of JPEGs with the C++ threaded loader.
+
+    Returns (images (N,224,224,3) uint8, ok (N,) bool) or None when the
+    native library is unavailable.  Rows whose decode failed are zeroed and
+    flagged; callers fall back to PIL for those.
+    """
+    import ctypes
+
+    from lrcn_tpu.native import imageloader_library
+
+    lib = imageloader_library()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    n = len(paths)
+    out = np.zeros((n, CROP, CROP, 3), np.uint8)
+    status = (ctypes.c_int * n)()
+    c_paths = (ctypes.c_char_p * n)(
+        *[os.fsencode(p) for p in paths])
+    lib.lrcn_load_images(
+        c_paths, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), status,
+        n_threads)
+    ok = np.asarray(status[:], np.int32) == 0
+    return out, ok
+
+
+def load_preprocessed(path: str) -> np.ndarray:
+    """One image -> (224,224,3) uint8: native JPEG fast path, PIL fallback."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        native = load_batch_native([path])
+        if native is not None and native[1][0]:
+            return native[0][0]
+    return resize_crop(decode_image(path))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def normalize_batch(images_u8: jax.Array, average_image: jax.Array
                     ) -> jax.Array:
@@ -109,15 +148,22 @@ def extract_features(
     """
     from lrcn_tpu.models.vgg import vgg16_fc7
 
-    store = store if store is not None else FeatureStore(
-        normalized=normalize)
-    todo = store.missing(image_paths)
+    todo = (store.missing(image_paths) if store is not None
+            else list(dict.fromkeys(int(i) for i in image_paths)))
     avg = jnp.asarray(average_image, jnp.float32)
 
     for start in range(0, len(todo), batch_size):
         ids = todo[start:start + batch_size]
-        imgs = np.stack([resize_crop(decode_image(image_paths[i]))
-                         for i in ids])
+        paths = [image_paths[i] for i in ids]
+        imgs = None
+        if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            native = load_batch_native(paths)
+            if native is not None:
+                imgs, ok = native
+                for idx in np.flatnonzero(~ok):   # PIL rescue per failure
+                    imgs[idx] = resize_crop(decode_image(paths[idx]))
+        if imgs is None:
+            imgs = np.stack([resize_crop(decode_image(p)) for p in paths])
         pad = batch_size - len(ids)
         if pad:
             imgs = np.concatenate(
@@ -127,6 +173,10 @@ def extract_features(
                            np.float32)[:len(ids)]
         if normalize:
             feats = l1_normalize(feats)
+        if store is None:   # dim comes from the encoder's actual output
+            store = FeatureStore(dim=feats.shape[-1], normalized=normalize)
         for i, f in zip(ids, feats):
             store.add(i, f)
+    if store is None:
+        store = FeatureStore(normalized=normalize)
     return store

@@ -5,7 +5,11 @@ compute, a Perl process for BLEU scoring — SURVEY.md §2 "Native components").
 Here the TPU compute path is XLA/Pallas; the host-side runtime pieces are
 C++ in this package:
 
-- ``bleu.cpp``  — multi-bleu statistics core (replaces the Perl subprocess).
+- ``bleu.cpp``        — multi-bleu statistics core (replaces the Perl
+  subprocess);
+- ``imageloader.cpp`` — threaded JPEG decode/resize/crop feeding the fc7
+  extractor (the TPU encoder sustains ~5k images/s; single-threaded PIL
+  cannot).
 
 Libraries build on first use with the system toolchain (g++ -O3 -shared)
 into ``_build/`` next to the sources; every consumer has a pure-Python
@@ -24,6 +28,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _BUILD_DIR = os.path.join(_DIR, "_build")
 _LOCK = threading.Lock()
 _CACHE: dict[str, ctypes.CDLL | None] = {}
+_LINK_FLAGS = {"imageloader": ["-ljpeg", "-pthread"]}
 
 
 def native_enabled() -> bool:
@@ -36,7 +41,8 @@ def _build(name: str) -> str | None:
     if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
         return lib
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", lib, src]
+    cmd = (["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", lib, src]
+           + _LINK_FLAGS.get(name, []))
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (subprocess.SubprocessError, FileNotFoundError):
@@ -60,6 +66,21 @@ def load_library(name: str) -> ctypes.CDLL | None:
                 lib = None
         _CACHE[name] = lib
         return lib
+
+
+def imageloader_library() -> ctypes.CDLL | None:
+    """The threaded JPEG loader with argtypes configured, or None."""
+    lib = load_library("imageloader")
+    if lib is None:
+        return None
+    if not getattr(lib, "_lrcn_configured", False):
+        lib.lrcn_load_images.restype = ctypes.c_int
+        lib.lrcn_load_images.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib._lrcn_configured = True
+    return lib
 
 
 def bleu_library() -> ctypes.CDLL | None:

@@ -60,3 +60,67 @@ def test_native_disabled_env(monkeypatch):
     monkeypatch.setenv("LRCN_NATIVE", "0")
     assert not native_enabled()
     assert bleu_mod._counts_native(["a"], [["a"]], False) is None
+
+
+class TestImageLoader:
+    """C++ threaded JPEG loader: build, correctness vs PIL, fallbacks."""
+
+    def _make_jpegs(self, tmp_path, n=6):
+        import numpy as np
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        paths = []
+        sizes = [(300, 400), (400, 300), (224, 224), (250, 600),
+                 (1024, 768), (231, 240)]
+        for i in range(n):
+            h, w = sizes[i % len(sizes)]
+            p = str(tmp_path / f"img{i}.jpg")
+            Image.fromarray(
+                rng.integers(0, 255, (h, w, 3)).astype("uint8"),
+            ).save(p, quality=92)
+            paths.append(p)
+        return paths
+
+    def test_loader_builds(self):
+        from lrcn_tpu.native import imageloader_library
+        assert imageloader_library() is not None
+
+    def test_loader_close_to_pil(self, tmp_path):
+        import numpy as np
+        from lrcn_tpu.data.images import (
+            decode_image, load_batch_native, resize_crop)
+        paths = self._make_jpegs(tmp_path)
+        out, ok = load_batch_native(paths)
+        assert out.shape == (len(paths), 224, 224, 3)
+        assert ok.all()
+        for i, p in enumerate(paths):
+            pil = resize_crop(decode_image(p))
+            # different resamplers (DCT-scaled libjpeg + 2-tap bilinear vs
+            # PIL antialiased): compare mean abs difference, not pixels
+            diff = np.abs(out[i].astype(np.float32)
+                          - pil.astype(np.float32)).mean()
+            assert diff < 12.0, (p, diff)
+
+    def test_loader_flags_bad_files(self, tmp_path):
+        from lrcn_tpu.data.images import load_batch_native
+        good = self._make_jpegs(tmp_path, 1)[0]
+        bad = str(tmp_path / "broken.jpg")
+        with open(bad, "wb") as f:
+            f.write(b"not a jpeg at all")
+        out, ok = load_batch_native([good, bad, good])
+        assert ok.tolist() == [True, False, True]
+        assert (out[1] == 0).all()
+
+    def test_extract_features_uses_native_path(self, tmp_path):
+        import jax
+        import numpy as np
+        from lrcn_tpu.data.images import extract_features
+        from lrcn_tpu.models import vgg
+        paths = {100 + i: p
+                 for i, p in enumerate(self._make_jpegs(tmp_path, 3))}
+        params = vgg.init_vgg_params(jax.random.PRNGKey(0),
+                                     width_multiplier=0.05, fc_dim=16)
+        store = extract_features(paths, params,
+                                 np.zeros((224, 224, 3), np.float32),
+                                 batch_size=2)
+        assert len(store) == 3
