@@ -134,6 +134,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("ref_stem")
     p.add_argument("--lc", action="store_true",
                    help="lowercase (Perl scorer -lc)")
+
+    p = sub.add_parser("import-karpathy",
+                       help="build a FeatureStore from Karpathy's "
+                            "vgg_feats.mat + dataset.json "
+                            "(feature_extractor.jl)")
+    p.add_argument("--vgg-feats", required=True, help="vgg_feats.mat path")
+    p.add_argument("--dataset-json", required=True)
+    p.add_argument("--out", required=True, help="FeatureStore dir")
+    p.add_argument("--no-normalize", action="store_true")
+
+    p = sub.add_parser("download",
+                       help="fetch COCO 2014 / Flickr30k / Karpathy "
+                            "features (reference download_data.sh sources)")
+    p.add_argument("dataset", choices=["coco", "flickr", "karpathy"])
+    p.add_argument("--root", default="data")
     return parser
 
 
@@ -331,6 +346,23 @@ def cmd_bleu(args) -> int:
     return bleu_main((["-lc"] if args.lc else []) + [args.ref_stem])
 
 
+def cmd_import_karpathy(args) -> int:
+    from lrcn_tpu.data.karpathy import import_karpathy
+
+    store = import_karpathy(args.vgg_feats, args.dataset_json,
+                            normalize=not args.no_normalize)
+    store.save(args.out)
+    print(f"imported {len(store)} features to {args.out}")
+    return 0
+
+
+def cmd_download(args) -> int:
+    from lrcn_tpu.data.download import download_dataset
+
+    download_dataset(args.dataset, args.root)
+    return 0
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     handlers = {
@@ -340,6 +372,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         "extract-features": cmd_extract_features,
         "eval": cmd_eval,
         "bleu": cmd_bleu,
+        "import-karpathy": cmd_import_karpathy,
+        "download": cmd_download,
     }
     return handlers[args.command](args)
 

@@ -1,0 +1,63 @@
+"""Dataset acquisition: MS-COCO 2014 + Flickr30k (+ Karpathy features).
+
+Equivalent of the reference's ``download_data.sh`` / ``karpathy_features.sh``
+as a resumable Python fetcher (same public sources).  Files already present
+are skipped, archives are extracted next to themselves.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+import urllib.request
+import zipfile
+
+# Same sources as the reference scripts (download_data.sh:1-22,
+# karpathy_features.sh:1-8).
+COCO_URLS = [
+    "http://msvocds.blob.core.windows.net/coco2014/train2014.zip",
+    "http://msvocds.blob.core.windows.net/coco2014/val2014.zip",
+    "http://msvocds.blob.core.windows.net/annotations-1-0-3/"
+    "captions_train-val2014.zip",
+]
+FLICKR_URLS = [
+    "http://shannon.cs.illinois.edu/DenotationGraph/data/"
+    "flickr30k-images.tar",
+    "http://shannon.cs.illinois.edu/DenotationGraph/data/flickr30k.tar.gz",
+]
+KARPATHY_URLS = [
+    "http://cs.stanford.edu/people/karpathy/deepimagesent/flickr30k.zip",
+]
+
+
+def fetch(url: str, dest_dir: str) -> str:
+    """Download ``url`` into ``dest_dir`` unless already present."""
+    os.makedirs(dest_dir, exist_ok=True)
+    path = os.path.join(dest_dir, os.path.basename(url))
+    if not os.path.exists(path):
+        print(f"downloading {url}")
+        urllib.request.urlretrieve(url, path)
+    return path
+
+
+def extract(path: str, dest_dir: str) -> None:
+    """Extract a .zip/.tar/.tar.gz archive into ``dest_dir``."""
+    print(f"extracting {os.path.basename(path)}")
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as z:
+            z.extractall(dest_dir)
+    elif path.endswith((".tar", ".tar.gz", ".tgz")):
+        with tarfile.open(path) as t:
+            t.extractall(dest_dir, filter="data")
+    else:
+        raise ValueError(f"unknown archive type: {path}")
+
+
+def download_dataset(which: str, root: str = "data") -> None:
+    """``which`` in {"coco", "flickr", "karpathy"}."""
+    urls = {"coco": COCO_URLS, "flickr": FLICKR_URLS,
+            "karpathy": KARPATHY_URLS}[which]
+    dest = os.path.join(root, {"coco": "MsCoCo", "flickr": "Flickr30k",
+                               "karpathy": "Flickr30k/karpathy"}[which])
+    for url in urls:
+        extract(fetch(url, dest), dest)
