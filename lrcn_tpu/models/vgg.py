@@ -116,17 +116,29 @@ def _maxpool(x: jax.Array) -> jax.Array:
 
 
 def vgg16_fc7_fn(params: Params, images: jax.Array,
-                 compute_dtype=jnp.bfloat16) -> jax.Array:
+                 compute_dtype=jnp.bfloat16,
+                 use_pallas: bool = False) -> jax.Array:
     """Un-jitted forward — composable into larger jitted programs
-    (the joint fine-tune step wraps it in jax.checkpoint)."""
+    (the joint fine-tune step wraps it in jax.checkpoint).
+
+    ``use_pallas`` routes the conv stack through the fused
+    conv+bias+ReLU Mosaic kernel (ops/pallas/conv3x3.py), which keeps the
+    epilogue in VMEM instead of XLA's separate elementwise pass.
+    """
+    if use_pallas:
+        from lrcn_tpu.ops.pallas.conv3x3 import fused_conv3x3_relu_fn
+        conv_relu = lambda x, p: fused_conv3x3_relu_fn(
+            x, p["w"], p["b"], compute_dtype=compute_dtype)
+    else:
+        conv_relu = lambda x, p: jax.nn.relu(
+            _conv(x, p["w"], p["b"], compute_dtype))
     x = images
     for entry in VGG16_LAYOUT:
         if entry == "pool":
             x = _maxpool(x)
         else:
             name, _ = entry
-            p = params[name]
-            x = jax.nn.relu(_conv(x, p["w"], p["b"], compute_dtype))
+            x = conv_relu(x, params[name])
     # fc6: contract the (7,7,512) volume directly — no flatten-order dance.
     w6, b6 = params["fc6"]["w"], params["fc6"]["b"]
     x = jnp.einsum("bhwc,hwcf->bf", x.astype(compute_dtype),
@@ -138,11 +150,12 @@ def vgg16_fc7_fn(params: Params, images: jax.Array,
     return x + params["fc7"]["b"].astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "use_pallas"))
 def vgg16_fc7(params: Params, images: jax.Array,
-              compute_dtype=jnp.bfloat16) -> jax.Array:
+              compute_dtype=jnp.bfloat16,
+              use_pallas: bool = False) -> jax.Array:
     """images (B, 224, 224, 3) preprocessed -> fc7 (B, 4096), NO relu7."""
-    return vgg16_fc7_fn(params, images, compute_dtype)
+    return vgg16_fc7_fn(params, images, compute_dtype, use_pallas)
 
 
 def l1_normalize(feats: jax.Array) -> jax.Array:

@@ -87,3 +87,47 @@ def test_beam_search_pallas_path_matches_xla():
     np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tokens))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
                                rtol=1e-5, atol=1e-5)
+
+
+class TestFusedConv:
+    """Fused 3x3 conv+bias+ReLU kernel vs lax.conv (interpret mode)."""
+
+    @pytest.mark.parametrize("shape", [
+        (2, 8, 8, 16, 32),     # aligned-ish small
+        (1, 14, 14, 64, 64),   # conv5-like
+        (2, 16, 12, 8, 8),     # rectangular, tiny channels
+        (1, 28, 28, 96, 40),   # unaligned channel counts
+    ])
+    def test_matches_lax_conv(self, shape):
+        from lrcn_tpu.ops.pallas.conv3x3 import fused_conv3x3_relu
+        b_dim, h, w_dim, c, f = shape
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((b_dim, h, w_dim, c)),
+                        jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal((f,)) * 0.5, jnp.float32)
+        y = fused_conv3x3_relu(x, w, b, compute_dtype=jnp.float32,
+                               interpret=True)
+        ref = jax.nn.relu(jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_no_relu_mode(self):
+        from lrcn_tpu.ops.pallas.conv3x3 import fused_conv3x3_relu
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)), jnp.float32)
+        b = jnp.zeros((8,))
+        y = fused_conv3x3_relu(x, w, b, compute_dtype=jnp.float32,
+                               apply_relu=False, interpret=True)
+        assert float(jnp.min(y)) < 0  # negatives survive
+
+    def test_shape_validation(self):
+        from lrcn_tpu.ops.pallas.conv3x3 import fused_conv3x3_relu
+        with pytest.raises(ValueError):
+            fused_conv3x3_relu(jnp.zeros((1, 8, 8, 4)),
+                               jnp.zeros((3, 3, 8, 8)), jnp.zeros((8,)),
+                               interpret=True)
