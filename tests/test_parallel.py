@@ -132,3 +132,37 @@ def test_host_local_batch_single_process():
         NamedSharding(mesh, P("data")), 2)
     np.testing.assert_array_equal(np.asarray(out["tokens"]),
                                   batch["tokens"])
+
+
+def test_sharded_beam_search_matches_single_device():
+    from lrcn_tpu.parallel.decode import sharded_beam_search
+    cfg = small_cfg()
+    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((16, cfg.cnn_feature_dim)).astype(np.float32)
+
+    from lrcn_tpu.decode.beam import beam_search
+    ref_tok, ref_scores = beam_search(params, jnp.asarray(feats),
+                                      beam_width=3, max_words=8,
+                                      compute_dtype=jnp.float32)
+    mesh = make_mesh((8, 1))
+    tok, scores = sharded_beam_search(params, feats, mesh, beam_width=3,
+                                      max_words=8,
+                                      compute_dtype=jnp.float32)
+    assert tok.sharding.is_fully_addressable
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                               rtol=1e-5)
+
+
+def test_sharded_greedy_search_runs():
+    from lrcn_tpu.parallel.decode import sharded_beam_search
+    cfg = small_cfg()
+    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
+    feats = np.random.default_rng(2).standard_normal(
+        (8, cfg.cnn_feature_dim)).astype(np.float32)
+    mesh = make_mesh((8, 1))
+    tok, scores = sharded_beam_search(params, feats, mesh, beam_width=1,
+                                      max_words=6,
+                                      compute_dtype=jnp.float32)
+    assert tok.shape == (8, 8)
