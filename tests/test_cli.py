@@ -205,3 +205,26 @@ def test_generate_with_sampling(synthetic, tmp_path):
     assert rc == 0
     lines = open(cand).read().splitlines()
     assert len(lines) == 10 and all(l.endswith(".") for l in lines)
+
+
+def test_eval_coco_json_path(tmp_path):
+    """`lrcn eval` with COCO-style annotations (eval/eval.jl:8-38 flow)."""
+    anns = {"annotations": [
+        {"image_id": iid, "caption": f"caption {k} for image {iid} ."}
+        for iid in (7, 8) for k in range(5)
+    ]}
+    ann_path = str(tmp_path / "captions_val.json")
+    with open(ann_path, "w") as f:
+        json.dump(anns, f)
+    cand = str(tmp_path / "cands.txt")
+    ids = str(tmp_path / "ids.txt")
+    with open(cand, "w") as f:
+        f.write("caption 0 for image 8 .\ncaption 1 for image 7 .\n")
+    with open(ids, "w") as f:
+        f.write("8\n7\n")
+    refs = str(tmp_path / "refs")
+    rc = cli.main(["eval", "--candidates", cand, "--candidate-ids", ids,
+                   "--annotations", ann_path, "--refs-dir", refs])
+    assert rc == 0
+    ref0 = open(os.path.join(refs, "ref0")).read().splitlines()
+    assert ref0[0].startswith("caption 0 for image 8")
