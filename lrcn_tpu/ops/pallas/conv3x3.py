@@ -21,12 +21,15 @@ speed-of-light minimum.  Available for the VGG conv stack via
 ``use_pallas=True`` (reference conv semantics: Knet conv4 mode=1, pad=1,
 lrcn.jl:724).
 
-STATUS: numerically verified (interpret mode, tests/test_pallas.py), but
-EXPERIMENTAL on hardware — the current Mosaic compiler takes pathologically
-long (>10 min was observed without completion) to compile the unrolled
-9-tap body for real layer shapes, so the XLA conv path stays the default.
-Revisit when the toolchain updates (likely culprit: the dx-shifted
-middle-dimension slices of the f32 accumulator forcing sublane relayouts).
+STATUS: numerically verified (interpret mode tests + on-chip vs XLA,
+maxerr ~bf16 rounding), compiles quickly with <=8-row strips (taller
+strips explode Mosaic compile time: th=28 ~38s vs th=8 ~1s), but measured
+SLOWER than XLA's conv custom-call at VGG shapes on v5e (e.g. conv1_2
+B=64: 18.6ms vs 9.9ms; conv4_3: 15.5ms vs 4.0ms) — the 9-tap matmul
+formulation cannot match XLA's dedicated conv codegen, and the fused
+epilogue does not make up the difference.  Kept as opt-in infrastructure
+(``use_pallas=True``) and as the measured record of why the XLA conv path
+is the right default on current hardware.
 """
 
 from __future__ import annotations
@@ -42,14 +45,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_th(h: int, w: int, c: int, f: int) -> int:
-    """Row-strip height: keep strip+accumulator well under the VMEM budget."""
-    # bytes per row of strip (bf16) + accumulator (f32) + contrib (f32)
-    per_row = (w + 2) * c * 2 + (w + 2) * f * 4 * 2
-    budget = 6 * 1024 * 1024
-    th = max(1, min(h, budget // max(per_row, 1)))
-    while h % th:
-        th -= 1
-    return th
+    """Row-strip height: the largest divisor of h that is <= 8.
+
+    Mosaic compile time explodes with taller strips (measured: th=28
+    compiles in ~38s, th=8 in ~1s for identical C/F) — the unrolled
+    dy-shifted slices of a tall strip force large sublane relayouts.
+    Strips of <= 8 rows are also comfortably within VMEM for every VGG
+    layer shape.
+    """
+    for th in range(min(8, h), 0, -1):
+        if h % th == 0:
+            return th
+    return 1
 
 
 def fused_conv3x3_relu_fn(x: jax.Array, w: jax.Array, b: jax.Array, *,
