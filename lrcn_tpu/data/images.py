@@ -144,16 +144,20 @@ def extract_features(
 
     Resumable: ids already present in ``store`` are skipped (lrcn.jl:203).
     The last partial batch is padded to ``batch_size`` so the VGG jit
-    compiles exactly once.
+    compiles exactly once.  Host decode of the NEXT batch overlaps with
+    device compute of the current one (a background thread runs the
+    decode; JAX dispatch is async so the encoder runs while the host
+    decodes).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from lrcn_tpu.models.vgg import vgg16_fc7
 
     todo = (store.missing(image_paths) if store is not None
             else list(dict.fromkeys(int(i) for i in image_paths)))
     avg = jnp.asarray(average_image, jnp.float32)
 
-    for start in range(0, len(todo), batch_size):
-        ids = todo[start:start + batch_size]
+    def load_host_batch(ids: list) -> np.ndarray:
         paths = [image_paths[i] for i in ids]
         imgs = None
         if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
@@ -168,15 +172,29 @@ def extract_features(
         if pad:
             imgs = np.concatenate(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-        batch = normalize_batch(jnp.asarray(imgs), avg)
-        feats = np.asarray(vgg16_fc7(vgg_params, batch, compute_dtype),
-                           np.float32)[:len(ids)]
-        if normalize:
-            feats = l1_normalize(feats)
-        if store is None:   # dim comes from the encoder's actual output
-            store = FeatureStore(dim=feats.shape[-1], normalized=normalize)
-        for i, f in zip(ids, feats):
-            store.add(i, f)
+        return imgs
+
+    id_batches = [todo[s:s + batch_size]
+                  for s in range(0, len(todo), batch_size)]
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = [pool.submit(load_host_batch, ids) for ids in
+                   id_batches[:1]]
+        for bi, ids in enumerate(id_batches):
+            imgs = futures.pop(0).result()
+            if bi + 1 < len(id_batches):
+                futures.append(
+                    pool.submit(load_host_batch, id_batches[bi + 1]))
+            batch = normalize_batch(jnp.asarray(imgs), avg)
+            feats = np.asarray(
+                vgg16_fc7(vgg_params, batch, compute_dtype),
+                np.float32)[:len(ids)]
+            if normalize:
+                feats = l1_normalize(feats)
+            if store is None:   # dim comes from the encoder's output
+                store = FeatureStore(dim=feats.shape[-1],
+                                     normalized=normalize)
+            for i, f in zip(ids, feats):
+                store.add(i, f)
     if store is None:
         store = FeatureStore(normalized=normalize)
     return store

@@ -228,3 +228,45 @@ def test_eval_coco_json_path(tmp_path):
     assert rc == 0
     ref0 = open(os.path.join(refs, "ref0")).read().splitlines()
     assert ref0[0].startswith("caption 0 for image 8")
+
+
+def test_train_on_coco_json_pair(tmp_path):
+    """COCO flow: two captions .json files (train+val) as --datafiles.
+
+    The reference passes both jsons and both feed the vocab
+    (lrcn.jl:69, tokenizer.jl:23).
+    """
+    rng = np.random.default_rng(4)
+
+    def make_json(path, id0, n_imgs):
+        anns = []
+        for i in range(n_imgs):
+            for _ in range(5):
+                n = int(rng.integers(4, 9))
+                anns.append({"image_id": id0 + i,
+                             "caption": " ".join(rng.choice(WORDS, n))})
+        with open(path, "w") as f:
+            json.dump({"annotations": anns}, f)
+        return [id0 + i for i in range(n_imgs)]
+
+    train_json = str(tmp_path / "captions_train.json")
+    val_json = str(tmp_path / "captions_val.json")
+    train_ids = make_json(train_json, 5000, 30)
+    val_ids = make_json(val_json, 9000, 10)
+
+    feats = {i: l1_normalize(
+        rng.standard_normal((1, 48)).astype(np.float32))[0]
+        for i in train_ids + val_ids}
+    store_dir = str(tmp_path / "feats")
+    FeatureStore.from_dict(feats, normalized=True).save(store_dir)
+
+    rc = cli.main([
+        "train", "--datafiles", train_json, val_json,
+        "--features", store_dir, "--val-features", store_dir,
+        "--savefile", str(tmp_path / "ckpt"),
+        "--epochs", "1", "--batchsize", "8",
+        "--hidden", "16", "16", "--embed", "12", "--seed", "5",
+        "--dropout", "0.0", "--compute-dtype", "float32"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"),
+                                       "params.npz"))
