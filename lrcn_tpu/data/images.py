@@ -145,9 +145,8 @@ def extract_features(
     Resumable: ids already present in ``store`` are skipped (lrcn.jl:203).
     The last partial batch is padded to ``batch_size`` so the VGG jit
     compiles exactly once.  Host decode of the NEXT batch overlaps with
-    device compute of the current one (a background thread runs the
-    decode; JAX dispatch is async so the encoder runs while the host
-    decodes).
+    device compute of the current one: a background thread decodes batch
+    N+1 while the main thread blocks on the encoder's output for batch N.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -177,13 +176,14 @@ def extract_features(
     id_batches = [todo[s:s + batch_size]
                   for s in range(0, len(todo), batch_size)]
     with ThreadPoolExecutor(max_workers=1) as pool:
-        futures = [pool.submit(load_host_batch, ids) for ids in
-                   id_batches[:1]]
+        # depth-1 prefetch: exactly one in-flight decode future
+        next_future = (pool.submit(load_host_batch, id_batches[0])
+                       if id_batches else None)
         for bi, ids in enumerate(id_batches):
-            imgs = futures.pop(0).result()
-            if bi + 1 < len(id_batches):
-                futures.append(
-                    pool.submit(load_host_batch, id_batches[bi + 1]))
+            imgs = next_future.result()
+            next_future = (
+                pool.submit(load_host_batch, id_batches[bi + 1])
+                if bi + 1 < len(id_batches) else None)
             batch = normalize_batch(jnp.asarray(imgs), avg)
             feats = np.asarray(
                 vgg16_fc7(vgg_params, batch, compute_dtype),

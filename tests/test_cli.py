@@ -260,6 +260,15 @@ def test_train_on_coco_json_pair(tmp_path):
     store_dir = str(tmp_path / "feats")
     FeatureStore.from_dict(feats, normalized=True).save(store_dir)
 
+    # plant a word that appears ONLY in the val json (5 times, above the
+    # min-count filter) — it must reach the vocabulary
+    with open(val_json) as f:
+        val_data = json.load(f)
+    for k in range(5):
+        val_data["annotations"][k]["caption"] += " zyzzyva"
+    with open(val_json, "w") as f:
+        json.dump(val_data, f)
+
     rc = cli.main([
         "train", "--datafiles", train_json, val_json,
         "--features", store_dir, "--val-features", store_dir,
@@ -268,5 +277,7 @@ def test_train_on_coco_json_pair(tmp_path):
         "--hidden", "16", "16", "--embed", "12", "--seed", "5",
         "--dropout", "0.0", "--compute-dtype", "float32"])
     assert rc == 0
-    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"),
-                                       "params.npz"))
+    from lrcn_tpu.core.vocab import UNK_ID, Vocab
+    vocab = Vocab.load(os.path.join(str(tmp_path / "ckpt"), "vocab.json"))
+    assert vocab.id("zyzzyva") != UNK_ID, \
+        "val json did not feed the vocabulary (tokenizer.jl:23 parity)"
