@@ -14,8 +14,10 @@ Layer map (see SURVEY.md for the reference's layer map this mirrors):
 - ``lrcn_tpu.ops``        fused compute ops (LSTM cell, Pallas kernels)
 - ``lrcn_tpu.parallel``   mesh / sharding / data-parallel training step
 - ``lrcn_tpu.train``      training loop, optimizer, checkpointing, metrics
-- ``lrcn_tpu.decode``     on-device greedy + beam search, caption writers
+- ``lrcn_tpu.decode``     on-device greedy / beam / sampling search, writers
 - ``lrcn_tpu.evaluation`` multi-bleu scorer + reference-file builder
+- ``lrcn_tpu.native``     C++ host-runtime components (BLEU core, image loader)
+- ``lrcn_tpu.utils``      profiling / step timing
 - ``lrcn_tpu.cli``        command-line surface mirroring the reference
 """
 
