@@ -81,6 +81,12 @@ class ShardedTrainStep:
 
     def __init__(self, cfg: LRCNConfig, opt: optax.GradientTransformation,
                  mesh: Mesh):
+        tp = mesh.shape.get("model", 1)
+        if cfg.vocab_size % tp:
+            raise ValueError(
+                f"vocab_size={cfg.vocab_size} must be divisible by the "
+                f"'model' mesh axis ({tp}): the embedding table and output "
+                f"projection shard their vocabulary dimension across it")
         self.cfg = cfg
         self.opt = opt
         self.mesh = mesh

@@ -166,3 +166,10 @@ def test_sharded_greedy_search_runs():
                                       max_words=6,
                                       compute_dtype=jnp.float32)
     assert tok.shape == (8, 8)
+
+
+def test_vocab_tp_divisibility_guard():
+    cfg = small_cfg(vocab_size=49)  # odd: not divisible by model axis 2
+    mesh = make_mesh((4, 2))
+    with pytest.raises(ValueError, match="divisible by the 'model'"):
+        ShardedTrainStep(cfg, make_optimizer(cfg), mesh)
