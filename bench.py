@@ -1,16 +1,26 @@
-"""Flagship benchmark: beam-3 caption decoding throughput per chip.
+"""North-star benchmarks on one TPU chip, printed as JSON lines.
+
+Default (driver contract): prints ONE JSON line — the flagship beam-3
+caption decoding throughput.  ``--all`` additionally runs the other two
+BASELINE.json north stars (VGG fc7 images/s, training words/s) and prints
+one JSON line per metric; BENCH_DETAIL.md records a committed run.
 
 The reference decodes batch-1 with a host-looped recursive beam search
-(lrcn.jl:644-678) — per-step GPU->host probability readbacks and a full-vocab
-host sort.  Our decode is one on-device ``lax.while_loop`` over a batch of
-images (lrcn_tpu/decode/beam.py).  North-star target (BASELINE.json):
->= 1000 beam-3 captions/sec per chip, which is the vs_baseline denominator.
+(lrcn.jl:644-678) — per-step GPU->host probability readbacks and a
+full-vocab host sort.  Our decode is one on-device ``lax.scan`` over a
+batch of images (lrcn_tpu/decode/beam.py).  The reference extracts fc7
+per image through an interpreter walk (lrcn.jl:190-221); ours scans
+batches of 256 through one jitted dispatch (models/vgg.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+All timings synchronize via host transfer of a scalar: on the
+experimental TPU runtime used in CI, ``block_until_ready`` can return
+before execution completes, and pulling large outputs to the host is
+tunnel-bandwidth-bound (not representative of a PCIe-attached host).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -19,16 +29,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from lrcn_tpu.config import LRCNConfig
-from lrcn_tpu.decode.beam import beam_search
-from lrcn_tpu.models import lrcn
 
-BASELINE_CAPTIONS_PER_SEC = 1000.0  # BASELINE.json north-star, per chip
+# BASELINE.json north stars (per chip) — the vs_baseline denominators.
+BASELINE_CAPTIONS_PER_SEC = 1000.0
+BASELINE_VGG_IMAGES_PER_SEC = 5000.0
+# Reference training throughput: "1 minute ≈ 100k words" (slide 7).
+BASELINE_TRAIN_WORDS_PER_SEC = 100_000.0 / 60.0
 
 
-def main():
+def bench_decode() -> dict:
+    """Flagship: beam-3 caption generation throughput."""
+    from lrcn_tpu.decode.beam import beam_search
+
+    from lrcn_tpu.models import lrcn
+
     cfg = LRCNConfig(hidden=(1000, 1000), embed=1000, vocab_size=8800)
-    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
-    params = jax.device_put(params)
+    params = jax.device_put(lrcn.init_params(jax.random.PRNGKey(0), cfg))
 
     batch, beam, max_words = 256, 3, 20
     rng = np.random.default_rng(0)
@@ -38,25 +54,126 @@ def main():
 
     run = lambda f: beam_search(params, f, beam_width=beam,
                                 max_words=max_words)
-    # Sync via host transfer: on some experimental TPU runtimes
-    # block_until_ready returns before execution completes; pulling a
-    # scalar to the host cannot.
     np.asarray(run(feats)[0])  # compile + warm up
 
     n_iters = 8
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        tokens, scores = run(feats)
-    np.asarray(tokens)
+    outs = [run(feats) for _ in range(n_iters)]
+    np.asarray(outs[-1][0])
     dt = time.perf_counter() - t0
 
     captions_per_sec = n_iters * batch / dt
-    print(json.dumps({
+    return {
         "metric": "beam3_captions_per_sec_per_chip",
         "value": round(captions_per_sec, 1),
         "unit": "captions/s",
         "vs_baseline": round(captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
-    }))
+    }
+
+
+def bench_vgg() -> dict:
+    """VGG-16 fc7 feature extraction throughput (wall clock).
+
+    One scanned dispatch of 8x256 images (models/vgg.py:vgg16_fc7_scan),
+    scalar-checksum sync — the per-dispatch host overhead that a per-batch
+    loop pays (~3.5 ms/batch here) is what the scan amortizes.
+    """
+    from lrcn_tpu.models import vgg
+
+    params = jax.device_put(vgg.init_vgg_params(jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(0)
+    k, b = 8, 256
+    stacked = jnp.asarray(
+        rng.standard_normal((k, b, 224, 224, 3)), jnp.bfloat16)
+
+    run = jax.jit(lambda p, x: vgg.vgg16_fc7_scan(p, x).sum())
+    float(run(params, stacked))  # compile + warm up
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    outs = [run(params, stacked) for _ in range(n_iters)]
+    float(outs[-1])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = n_iters * k * b / dt
+    return {
+        "metric": "vgg16_fc7_images_per_sec_per_chip",
+        "value": round(images_per_sec, 1),
+        "unit": "images/s",
+        "vs_baseline": round(images_per_sec / BASELINE_VGG_IMAGES_PER_SEC, 3),
+    }
+
+
+def bench_train() -> dict:
+    """Decoder training throughput in words/s (reference: slide 7)."""
+    import functools
+
+    import optax
+
+    from lrcn_tpu.models import lrcn
+    from lrcn_tpu.train.trainer import make_optimizer
+
+    cfg = LRCNConfig(hidden=(1000, 1000), embed=1000, vocab_size=8800,
+                     dropout=0.4)
+    params = jax.device_put(lrcn.init_params(jax.random.PRNGKey(0), cfg))
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+
+    b, length = 256, 20
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, (b, length)),
+                         jnp.int32)
+    lengths = jnp.asarray(rng.integers(10, length + 1, (b,)), jnp.int32)
+    feats = jnp.asarray(rng.standard_normal((b, cfg.cnn_feature_dim)),
+                        jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rng):
+        loss, grads = jax.value_and_grad(lrcn.loss_fn)(
+            params, tokens, lengths, feats, pdrop=cfg.dropout, rng=rng)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, loss = step(params, opt_state, key)
+    float(loss)  # compile + sync
+
+    n_iters = 20
+    words = int(jnp.sum(lengths)) * n_iters
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(key, i))
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    words_per_sec = words / dt
+    return {
+        "metric": "train_words_per_sec_per_chip",
+        "value": round(words_per_sec, 1),
+        "unit": "words/s",
+        "vs_baseline": round(words_per_sec / BASELINE_TRAIN_WORDS_PER_SEC, 3),
+    }
+
+
+BENCHES = {"decode": bench_decode, "vgg": bench_vgg, "train": bench_train}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--all", action="store_true",
+                        help="run every north-star metric (3 JSON lines)")
+    parser.add_argument("--metric", choices=sorted(BENCHES),
+                        help="run a single named metric")
+    args = parser.parse_args(argv)
+    if args.metric:
+        names = [args.metric]
+    elif args.all:
+        names = ["decode", "vgg", "train"]
+    else:
+        names = ["decode"]  # driver contract: ONE JSON line
+    for name in names:
+        print(json.dumps(BENCHES[name]()), flush=True)
 
 
 if __name__ == "__main__":

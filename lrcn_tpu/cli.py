@@ -53,22 +53,42 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--datafiles", nargs="+", required=True,
                    help="Flickr .token file or COCO captions .json files "
                         "(reference --datafiles)")
-    p.add_argument("--features", required=True,
-                   help="FeatureStore dir with training fc7 features")
+    p.add_argument("--features",
+                   help="FeatureStore dir with training fc7 features "
+                        "(required unless --joint)")
     p.add_argument("--val-features",
                    help="FeatureStore dir for validation features")
     p.add_argument("--savefile", help="checkpoint dir, saved per epoch")
     p.add_argument("--epochs", type=int, default=10)
-    p.add_argument("--batchsize", type=int, default=25)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--gclip", type=float, default=0.0)
-    p.add_argument("--dropout", type=float, default=0.4)
+    # None = "not passed": fresh runs fall back to the LRCNConfig defaults
+    # (batchsize 25, lr 1e-3, gclip 0, dropout 0.4 — lrcn.jl:41-45,227);
+    # resumed runs keep the checkpoint's values unless a flag is given.
+    p.add_argument("--batchsize", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--gclip", type=float, default=None)
+    p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--equal-length-batches", action="store_true",
                    help="reference-parity batching (deletes unbatchable "
                         "captions, lrcn.jl:299-327) instead of bucketing")
     p.add_argument("--mesh", type=int, nargs=2, metavar=("DP", "TP"),
                    help="train over a (data, model) device mesh")
     p.add_argument("--metrics", help="JSONL metrics file")
+    # --- joint CNN+LSTM fine-tune (paper LRCN-2f, 1411.4389.pdf Table 6;
+    #     the reference only ever trains on frozen offline features) ---
+    p.add_argument("--joint", action="store_true",
+                   help="fine-tune the VGG encoder end-to-end with the "
+                        "decoder; requires --images, ignores --features")
+    p.add_argument("--images",
+                   help="image directory for --joint (ids parsed from "
+                        "filenames)")
+    p.add_argument("--cnn", dest="vgg_model",
+                   help="MatConvNet .mat to initialize the encoder for "
+                        "--joint (random init when omitted)")
+    p.add_argument("--cnn-lr", type=float, default=None,
+                   help="encoder learning rate for --joint "
+                        "(default: lr / 10)")
+    p.add_argument("--freeze-cnn", action="store_true",
+                   help="keep the encoder frozen during --joint training")
     _add_model_args(p)
     _add_common_args(p)
 
@@ -99,8 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("caption", help="caption a single image file or URL")
     p.add_argument("image")
     p.add_argument("--loadfile", required=True)
-    p.add_argument("--cnn", required=True, dest="vgg_model",
-                   help="MatConvNet imagenet-vgg-verydeep-16.mat path")
+    p.add_argument("--cnn", dest="vgg_model",
+                   help="MatConvNet imagenet-vgg-verydeep-16.mat path "
+                        "(optional when --loadfile is a joint checkpoint, "
+                        "whose fine-tuned encoder is used)")
     p.add_argument("--generate", type=int, default=30, dest="max_words")
     p.add_argument("--beam_width", type=int, default=3)
     p.add_argument("--compute-dtype", default="bfloat16",
@@ -167,22 +189,82 @@ def image_id_from_filename(name: str) -> int:
 
 
 def _load_model(loadfile: str):
+    """Load a checkpoint -> (decoder_params, vocab, cfg).
+
+    Joint checkpoints (cnn/ + decoder/ param sets) yield their decoder;
+    use ``_load_joint_model`` to also get the fine-tuned encoder.
+    """
     from lrcn_tpu.train.checkpoint import load_checkpoint
+    from lrcn_tpu.train.joint import is_joint_checkpoint
 
     ckpt = load_checkpoint(loadfile)
-    return ckpt["params"], ckpt["vocab"], ckpt["cfg"]
+    params = ckpt["params"]
+    if is_joint_checkpoint(params):
+        params = params["decoder"]
+    return params, ckpt["vocab"], ckpt["cfg"]
+
+
+# train-parser hyperparameters that default to None so resumed runs can
+# tell "explicitly passed" from "not passed" (cfg field -> flag name).
+_RESUME_OVERRIDES = {"batch_size": "batchsize", "lr": "lr",
+                     "gclip": "gclip", "dropout": "dropout"}
+
+
+def _resumed_config(cfg, args):
+    """Apply explicitly-passed hyperparameter flags onto a checkpoint's
+    config, printing each override (silently ignoring them was a trap)."""
+    for field, flag in _RESUME_OVERRIDES.items():
+        value = getattr(args, flag)
+        if value is not None and value != getattr(cfg, field):
+            print(f"resume: --{flag} {value} overrides checkpoint "
+                  f"{field}={getattr(cfg, field)}")
+            setattr(cfg, field, value)
+    cfg.epochs = args.epochs
+    return cfg
+
+
+def _fresh_config(args, **extra):
+    from lrcn_tpu.config import LRCNConfig
+
+    kwargs = {field: getattr(args, flag)
+              for field, flag in _RESUME_OVERRIDES.items()
+              if getattr(args, flag) is not None}
+    kwargs.update(extra)
+    return LRCNConfig(
+        hidden=tuple(args.hidden), embed=args.embed,
+        epochs=args.epochs, seed=args.seed,
+        compute_dtype=args.compute_dtype,
+        datafiles=tuple(args.datafiles),
+        savefile=args.savefile, loadfile=args.loadfile, **kwargs)
 
 
 def cmd_train(args) -> int:
     import jax
 
-    from lrcn_tpu.config import LRCNConfig
     from lrcn_tpu.core.tokenizer import tokenize
     from lrcn_tpu.data.batcher import bucket_batches, equal_length_batches
     from lrcn_tpu.data.feature_store import FeatureStore
-    from lrcn_tpu.train.checkpoint import load_checkpoint
+    from lrcn_tpu.train.checkpoint import (
+        load_checkpoint,
+        restore_opt_state_like,
+    )
     from lrcn_tpu.train.metrics import MetricsLogger
     from lrcn_tpu.train.trainer import Trainer
+
+    if args.joint:
+        return _train_joint(args)
+    if not args.features:
+        raise SystemExit("lrcn train: --features is required "
+                         "(or pass --joint with --images)")
+
+    opt_leaves = ckpt = None
+    if args.loadfile:
+        ckpt = load_checkpoint(args.loadfile)
+        from lrcn_tpu.train.joint import is_joint_checkpoint
+        if is_joint_checkpoint(ckpt["params"]):
+            raise SystemExit(
+                f"{args.loadfile} is a joint (cnn+decoder) checkpoint; "
+                "resume it with --joint")
 
     vocab, caption_lists = tokenize(args.datafiles)
     # caption_lists: [train, val, test] for Flickr; [train, val] for COCO
@@ -191,20 +273,13 @@ def cmd_train(args) -> int:
     val_caps = caption_lists[1] if len(caption_lists) > 1 else None
     store = FeatureStore.load(args.features)
 
-    if args.loadfile:
-        ckpt = load_checkpoint(args.loadfile)
-        cfg, vocab, params = ckpt["cfg"], ckpt["vocab"], ckpt["params"]
-        cfg.epochs = args.epochs
+    if ckpt is not None:
+        vocab, params = ckpt["vocab"], ckpt["params"]
+        cfg = _resumed_config(ckpt["cfg"], args)
+        opt_leaves = ckpt["opt_leaves"]
     else:
-        cfg = LRCNConfig(
-            hidden=tuple(args.hidden), embed=args.embed,
-            cnn_feature_dim=store.dim,
-            vocab_size=len(vocab), epochs=args.epochs,
-            batch_size=args.batchsize, lr=args.lr, gclip=args.gclip,
-            dropout=args.dropout, seed=args.seed,
-            compute_dtype=args.compute_dtype,
-            datafiles=tuple(args.datafiles),
-            savefile=args.savefile, loadfile=args.loadfile)
+        cfg = _fresh_config(args, cnn_feature_dim=store.dim,
+                            vocab_size=len(vocab))
         params = None
 
     mesh = None
@@ -218,8 +293,14 @@ def cmd_train(args) -> int:
     init_params, opt_state = trainer.init(key)
     if params is None:
         params = init_params
-    elif mesh is not None:
-        params = trainer._sharded.shard_params(params)
+    else:
+        if mesh is not None:
+            params = trainer._sharded.shard_params(params)
+        if opt_leaves is not None:   # resume Adam moments + step count
+            try:
+                opt_state = restore_opt_state_like(opt_state, opt_leaves)
+            except ValueError as e:   # e.g. --gclip toggled the chain shape
+                print(f"resume: optimizer state reset ({e})")
 
     make_batches = (equal_length_batches if args.equal_length_batches
                     else bucket_batches)
@@ -245,6 +326,113 @@ def cmd_train(args) -> int:
 
     trainer.fit(params, opt_state, train_batches, val_batches, store,
                 val_store, jax.random.PRNGKey(max(cfg.seed, 0) + 1),
+                savefile=args.savefile)
+    metrics.close()
+    return 0
+
+
+def _train_joint(args) -> int:
+    """``lrcn train --joint``: end-to-end CNN+LSTM fine-tuning.
+
+    The paper's strongest configuration (LRCN-2f, 1411.4389.pdf Table 6);
+    the reference CLI has no equivalent — it only trains on frozen
+    offline features (lrcn.jl:190-221).
+    """
+    import jax
+
+    from lrcn_tpu.core.tokenizer import tokenize
+    from lrcn_tpu.data.batcher import bucket_batches
+    from lrcn_tpu.train.checkpoint import (
+        load_checkpoint,
+        restore_opt_state_like,
+    )
+    from lrcn_tpu.train.joint import (
+        JointTrainer,
+        identity_average_image,
+        is_joint_checkpoint,
+        load_joint_params,
+    )
+    from lrcn_tpu.train.metrics import MetricsLogger
+
+    if not args.images:
+        raise SystemExit("lrcn train --joint: --images is required")
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    image_paths = {
+        image_id_from_filename(f): os.path.join(args.images, f)
+        for f in sorted(os.listdir(args.images))
+        if f.lower().endswith(exts)
+    }
+    if not image_paths:
+        raise SystemExit(f"no images found in {args.images}")
+
+    vocab, caption_lists = tokenize(args.datafiles)
+    vgg_params = decoder_params = opt_leaves = None
+    average_image = identity_average_image()
+    if args.loadfile:
+        ckpt = load_checkpoint(args.loadfile)
+        if not is_joint_checkpoint(ckpt["params"]):
+            raise SystemExit(
+                f"{args.loadfile} is a decoder-only checkpoint; resume it "
+                "without --joint (or extract features and train on them)")
+        joint = load_joint_params(ckpt["params"])
+        vgg_params, decoder_params = joint.cnn, joint.decoder
+        vocab = ckpt["vocab"]
+        cfg = _resumed_config(ckpt["cfg"], args)
+        opt_leaves = ckpt["opt_leaves"]
+        avg_path = os.path.join(args.loadfile, "average_image.npy")
+        if os.path.exists(avg_path):
+            average_image = np.load(avg_path)
+    else:
+        if args.vgg_model:
+            from lrcn_tpu.models.vgg import load_matconvnet
+            vgg_params, average_image = load_matconvnet(args.vgg_model)
+        else:
+            from lrcn_tpu.models.vgg import init_vgg_params
+            vgg_params = init_vgg_params(
+                jax.random.PRNGKey(max(args.seed, 0)))
+        cfg = _fresh_config(
+            args, vocab_size=len(vocab), vgg_model=args.vgg_model,
+            cnn_feature_dim=int(
+                np.shape(vgg_params["fc7"]["b"])[0]))
+
+    # only captions whose image is on disk can train end-to-end
+    train_caps = [c for c in caption_lists[0] if c.image_id in image_paths]
+    dropped = len(caption_lists[0]) - len(train_caps)
+    if dropped:
+        print(f"joint: dropped {dropped} captions without an image file")
+    val_caps = None
+    if len(caption_lists) > 1:
+        val_caps = [c for c in caption_lists[1]
+                    if c.image_id in image_paths] or None
+
+    mesh = None
+    if args.mesh:
+        from lrcn_tpu.parallel import make_mesh
+        mesh = make_mesh(tuple(args.mesh))
+
+    metrics = MetricsLogger(args.metrics)
+    trainer = JointTrainer(cfg, vocab, image_paths, average_image,
+                           metrics=metrics, mesh=mesh, cnn_lr=args.cnn_lr,
+                           freeze_cnn=args.freeze_cnn)
+    params, opt_state = trainer.init(
+        jax.random.PRNGKey(max(cfg.seed, 0)), vgg_params=vgg_params,
+        decoder_params=decoder_params)
+    if opt_leaves is not None:
+        try:
+            opt_state = restore_opt_state_like(opt_state, opt_leaves)
+        except ValueError as e:
+            print(f"resume: optimizer state reset ({e})")
+
+    train_batches = bucket_batches(train_caps, vocab, cfg.batch_size)
+    val_batches = (bucket_batches(val_caps, vocab, cfg.batch_size)
+                   if val_caps else None)
+    if args.savefile:
+        os.makedirs(args.savefile, exist_ok=True)
+        np.save(os.path.join(args.savefile, "average_image.npy"),
+                average_image)
+    trainer.fit(params, opt_state, train_batches, val_batches,
+                jax.random.PRNGKey(max(cfg.seed, 0) + 1),
                 savefile=args.savefile)
     metrics.close()
     return 0
@@ -282,9 +470,25 @@ def cmd_caption(args) -> int:
     from lrcn_tpu.decode.beam import beam_search
     from lrcn_tpu.decode.writer import caption_to_line
     from lrcn_tpu.models.vgg import l1_normalize, load_matconvnet, vgg16_fc7
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+    from lrcn_tpu.train.joint import (
+        identity_average_image,
+        is_joint_checkpoint,
+    )
 
-    params, vocab, _cfg = _load_model(args.loadfile)
-    vgg_params, avg = load_matconvnet(args.vgg_model)
+    ckpt = load_checkpoint(args.loadfile)
+    params, vocab = ckpt["params"], ckpt["vocab"]
+    vgg_params = avg = None
+    if is_joint_checkpoint(params):
+        vgg_params, params = params["cnn"], params["decoder"]
+        avg_path = os.path.join(args.loadfile, "average_image.npy")
+        avg = (np.load(avg_path) if os.path.exists(avg_path)
+               else identity_average_image())
+    if args.vgg_model:          # an explicit --cnn wins over the checkpoint
+        vgg_params, avg = load_matconvnet(args.vgg_model)
+    elif vgg_params is None:
+        raise SystemExit("lrcn caption: --cnn is required unless "
+                         "--loadfile is a joint checkpoint")
     compute_dtype = jnp.dtype(args.compute_dtype)
     image = preprocess(args.image, avg)
     feats = vgg16_fc7(vgg_params, image, compute_dtype)

@@ -130,6 +130,27 @@ def preprocess(path_or_url: str, average_image: np.ndarray) -> jax.Array:
                            jnp.asarray(average_image, jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _normalize_and_fc7_scan(vgg_params, images_u8: jax.Array,
+                            average_image: jax.Array,
+                            compute_dtype=jnp.bfloat16) -> jax.Array:
+    """(K, B, 224, 224, 3) uint8 -> (K, B, 4096) fc7 in ONE dispatch.
+
+    Fuses the 255-scale/mean-subtract preprocessing (lrcn.jl:771) into the
+    encoder and scans K batches back-to-back on device: one host dispatch
+    and one readback per K*B images.  Per-dispatch host overhead is what
+    separates per-batch wall clock (~4.65k img/s) from the >=5k img/s
+    target (measured on one v5e chip; see benchmarks/README.md).
+    """
+    from lrcn_tpu.models.vgg import vgg16_fc7_fn
+
+    def body(_, x):
+        x = x.astype(jnp.float32) - average_image
+        return None, vgg16_fc7_fn(vgg_params, x, compute_dtype)
+    _, feats = jax.lax.scan(body, None, images_u8)
+    return feats
+
+
 def extract_features(
     image_paths: dict[int, str],
     vgg_params,
@@ -139,18 +160,18 @@ def extract_features(
     batch_size: int = 64,
     normalize: bool = True,
     compute_dtype=jnp.bfloat16,
+    scan_depth: int = 8,
 ) -> FeatureStore:
     """Batched fc7 extraction into a FeatureStore (lrcn.jl:190-221).
 
     Resumable: ids already present in ``store`` are skipped (lrcn.jl:203).
-    The last partial batch is padded to ``batch_size`` so the VGG jit
-    compiles exactly once.  Host decode of the NEXT batch overlaps with
-    device compute of the current one: a background thread decodes batch
-    N+1 while the main thread blocks on the encoder's output for batch N.
+    Batches are grouped ``scan_depth`` at a time into a single scanned
+    device dispatch (one host->device transfer, one readback) and the host
+    decode of group N+1 overlaps with device compute of group N via a
+    background thread.  The last partial batch is padded to ``batch_size``;
+    a short tail group compiles one extra program shape.
     """
     from concurrent.futures import ThreadPoolExecutor
-
-    from lrcn_tpu.models.vgg import vgg16_fc7
 
     todo = (store.missing(image_paths) if store is not None
             else list(dict.fromkeys(int(i) for i in image_paths)))
@@ -173,28 +194,34 @@ def extract_features(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
         return imgs
 
+    def load_host_group(id_batches: list[list]) -> np.ndarray:
+        return np.stack([load_host_batch(ids) for ids in id_batches])
+
     id_batches = [todo[s:s + batch_size]
                   for s in range(0, len(todo), batch_size)]
+    id_groups = [id_batches[s:s + scan_depth]
+                 for s in range(0, len(id_batches), scan_depth)]
     with ThreadPoolExecutor(max_workers=1) as pool:
         # depth-1 prefetch: exactly one in-flight decode future
-        next_future = (pool.submit(load_host_batch, id_batches[0])
-                       if id_batches else None)
-        for bi, ids in enumerate(id_batches):
+        next_future = (pool.submit(load_host_group, id_groups[0])
+                       if id_groups else None)
+        for gi, group in enumerate(id_groups):
             imgs = next_future.result()
             next_future = (
-                pool.submit(load_host_batch, id_batches[bi + 1])
-                if bi + 1 < len(id_batches) else None)
-            batch = normalize_batch(jnp.asarray(imgs), avg)
-            feats = np.asarray(
-                vgg16_fc7(vgg_params, batch, compute_dtype),
-                np.float32)[:len(ids)]
-            if normalize:
-                feats = l1_normalize(feats)
-            if store is None:   # dim comes from the encoder's output
-                store = FeatureStore(dim=feats.shape[-1],
-                                     normalized=normalize)
-            for i, f in zip(ids, feats):
-                store.add(i, f)
+                pool.submit(load_host_group, id_groups[gi + 1])
+                if gi + 1 < len(id_groups) else None)
+            group_feats = np.asarray(
+                _normalize_and_fc7_scan(vgg_params, jnp.asarray(imgs), avg,
+                                        compute_dtype), np.float32)
+            for ids, feats in zip(group, group_feats):
+                feats = feats[:len(ids)]
+                if normalize:
+                    feats = l1_normalize(feats)
+                if store is None:   # dim comes from the encoder's output
+                    store = FeatureStore(dim=feats.shape[-1],
+                                         normalized=normalize)
+                for i, f in zip(ids, feats):
+                    store.add(i, f)
     if store is None:
         store = FeatureStore(normalized=normalize)
     return store

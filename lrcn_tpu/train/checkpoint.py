@@ -33,7 +33,8 @@ def _flatten_params(params: Any) -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(
-            str(p.key) if hasattr(p, "key") else str(p.idx) for p in path)
+            str(getattr(p, "key", None) or getattr(p, "name", None)
+                or getattr(p, "idx", "")) for p in path)
         flat[key] = np.asarray(leaf)
     return flat
 
@@ -95,3 +96,15 @@ def restore_opt_state(template_opt_state: Any, opt_leaves: list) -> Any:
     template (``opt.init(params)``) providing the tree structure."""
     treedef = jax.tree.structure(template_opt_state)
     return jax.tree.unflatten(treedef, opt_leaves)
+
+
+def restore_opt_state_like(template_opt_state: Any, opt_leaves: list) -> Any:
+    """Like ``restore_opt_state``, but places every restored leaf with the
+    template leaf's sharding — so resuming on a device mesh re-shards the
+    Adam moments exactly as ``opt.init`` laid them out."""
+    restored = restore_opt_state(template_opt_state, opt_leaves)
+    def place(t, v):
+        if isinstance(t, jax.Array):
+            return jax.device_put(np.asarray(v), t.sharding)
+        return v
+    return jax.tree.map(place, template_opt_state, restored)

@@ -207,6 +207,90 @@ def test_generate_with_sampling(synthetic, tmp_path):
     assert len(lines) == 10 and all(l.endswith(".") for l in lines)
 
 
+def test_train_joint_cli(tmp_path, monkeypatch):
+    """`lrcn train --joint`: end-to-end fine-tune, resume, and caption.
+
+    The encoder is monkeypatched to a width-scaled VGG so the CPU test
+    stays fast; the CLI derives the decoder's feature dim from the actual
+    encoder, so everything stays consistent.
+    """
+    import functools
+
+    from PIL import Image
+
+    from lrcn_tpu.models import vgg as vgg_mod
+
+    monkeypatch.setattr(
+        vgg_mod, "init_vgg_params",
+        functools.partial(vgg_mod.init_vgg_params,
+                          width_multiplier=0.05, fc_dim=24))
+
+    rng = np.random.default_rng(6)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    ids = [41000 + i for i in range(8)]
+    for iid in ids:
+        Image.fromarray(
+            rng.integers(0, 255, (230, 260, 3)).astype(np.uint8)
+        ).save(str(img_dir / f"COCO_train2014_{iid:012d}.jpg"))
+
+    anns = [{"image_id": iid, "caption": " ".join(rng.choice(WORDS, 5))}
+            for iid in ids for _ in range(5)]
+    train_json = str(tmp_path / "captions_train.json")
+    with open(train_json, "w") as f:
+        json.dump({"annotations": anns}, f)
+
+    ckpt = str(tmp_path / "joint_ckpt")
+    base = ["train", "--joint", "--images", str(img_dir),
+            "--datafiles", train_json, "--epochs", "1",
+            "--batchsize", "4", "--hidden", "16", "16", "--embed", "12",
+            "--seed", "3", "--dropout", "0.0",
+            "--compute-dtype", "float32"]
+    assert cli.main(base + ["--savefile", ckpt]) == 0
+
+    # checkpoint carries BOTH parameter sets
+    with np.load(os.path.join(ckpt, "params.npz")) as z:
+        keys = set(z.files)
+    assert any(k.startswith("cnn/") for k in keys), keys
+    assert any(k.startswith("decoder/") for k in keys), keys
+    assert os.path.exists(os.path.join(ckpt, "average_image.npy"))
+
+    # resume the joint run (restores encoder+decoder+opt state)
+    assert cli.main(base + ["--loadfile", ckpt,
+                            "--savefile", str(tmp_path / "joint2")]) == 0
+
+    # decoder-only resume of a joint checkpoint is refused with guidance
+    with pytest.raises(SystemExit, match="joint"):
+        cli.main(["train", "--datafiles", train_json,
+                  "--features", "unused", "--loadfile", ckpt])
+
+    # caption a single image with the fine-tuned encoder (no --cnn needed)
+    rc = cli.main(["caption", str(img_dir / f"COCO_train2014_{ids[0]:012d}.jpg"),
+                   "--loadfile", ckpt, "--generate", "4",
+                   "--beam_width", "2", "--compute-dtype", "float32"])
+    assert rc == 0
+
+
+def test_train_resume_honors_explicit_flags(synthetic, tmp_path, capsys):
+    """Explicit hyperparameter flags override a resumed checkpoint's config
+    (round-1 behavior silently ignored them)."""
+    ckpt = str(synthetic["tmp"] / "ckpt")   # trained by the workflow test
+    if not os.path.exists(os.path.join(ckpt, "params.npz")):
+        pytest.skip("workflow test has not produced a checkpoint")
+    rc = cli.main([
+        "train", "--datafiles", synthetic["token"],
+        "--features", synthetic["feats"], "--loadfile", ckpt,
+        "--savefile", str(tmp_path / "ckpt_override"),
+        "--epochs", "1", "--lr", "5e-4", "--batchsize", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "overrides checkpoint lr=" in out
+    assert "overrides checkpoint batch_size=" in out
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+    cfg = load_checkpoint(str(tmp_path / "ckpt_override"))["cfg"]
+    assert cfg.lr == 5e-4 and cfg.batch_size == 8
+
+
 def test_eval_coco_json_path(tmp_path):
     """`lrcn eval` with COCO-style annotations (eval/eval.jl:8-38 flow)."""
     anns = {"annotations": [
