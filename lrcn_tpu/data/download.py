@@ -1,8 +1,14 @@
 """Dataset acquisition: MS-COCO 2014 + Flickr30k (+ Karpathy features).
 
 Equivalent of the reference's ``download_data.sh`` / ``karpathy_features.sh``
-as a resumable Python fetcher (same public sources).  Files already present
-are skipped, archives are extracted next to themselves.
+as a resumable Python fetcher.  Files already present are skipped, archives
+are extracted next to themselves.
+
+The reference scripts' 2016-era hosts are dead (``msvocds.blob.core.
+windows.net`` no longer resolves; download_data.sh:1-22); COCO moved to
+``images.cocodataset.org``.  Flickr30k proper is gated behind a form at
+the UIUC page, so its URL list stays on the original host and failures
+point the user at the form.
 """
 
 from __future__ import annotations
@@ -12,21 +18,22 @@ import tarfile
 import urllib.request
 import zipfile
 
-# Same sources as the reference scripts (download_data.sh:1-22,
-# karpathy_features.sh:1-8).
+# COCO's current host (the reference's msvocds.blob URLs are dead).
 COCO_URLS = [
-    "http://msvocds.blob.core.windows.net/coco2014/train2014.zip",
-    "http://msvocds.blob.core.windows.net/coco2014/val2014.zip",
-    "http://msvocds.blob.core.windows.net/annotations-1-0-3/"
-    "captions_train-val2014.zip",
+    "http://images.cocodataset.org/zips/train2014.zip",
+    "http://images.cocodataset.org/zips/val2014.zip",
+    "http://images.cocodataset.org/annotations/"
+    "annotations_trainval2014.zip",
 ]
+# Flickr30k requires a signed form (https://shannon.cs.illinois.edu/
+# DenotationGraph/); these are the reference's URLs (download_data.sh:9-13).
 FLICKR_URLS = [
     "http://shannon.cs.illinois.edu/DenotationGraph/data/"
     "flickr30k-images.tar",
     "http://shannon.cs.illinois.edu/DenotationGraph/data/flickr30k.tar.gz",
 ]
 KARPATHY_URLS = [
-    "http://cs.stanford.edu/people/karpathy/deepimagesent/flickr30k.zip",
+    "https://cs.stanford.edu/people/karpathy/deepimagesent/flickr30k.zip",
 ]
 
 

@@ -258,8 +258,12 @@ def decode_step(params: Params, state: LSTMState, token_ids: jax.Array,
     reference's host-looped per-step forward, lrcn.jl:650-651).
 
     ``use_pallas`` routes both LSTM cells through the fused Pallas step
-    kernel (ops/pallas/lstm_step.py) — measured ~1.6x over the XLA cell at
-    reference scale on TPU; inference only (no VJP).
+    kernel (ops/pallas/lstm_step.py).  Measured at reference scale on one
+    v5e chip: the kernel wins ISOLATED (~1.6x over the XLA cell) but LOSES
+    inside the decode scan (beam-3 batch-256: 14.9k captions/s vs 16.3k
+    for the XLA cell — XLA keeps activations VMEM-resident across fused
+    scan steps, which the kernel boundary forfeits).  Default off;
+    inference only (no VJP).
     """
     if use_pallas:
         from lrcn_tpu.ops.pallas import fused_lstm_step_fn

@@ -15,11 +15,25 @@ that remain:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Environment variables whose presence marks a multi-process cluster that
+# jax.distributed.initialize() can auto-configure from.  The single-process
+# decision must NOT touch backend-initializing APIs (jax.process_count()
+# initializes XLA, after which jax.distributed.initialize() always raises
+# "must be called before any JAX computations").
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",       # jax-native
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU
+    "SLURM_JOB_NUM_NODES",            # cluster schedulers jax can parse
+    "OMPI_COMM_WORLD_SIZE",
+)
 
 
 def initialize(coordinator_address: str | None = None,
@@ -27,16 +41,18 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """Join the JAX coordination service (multi-host startup).
 
-    A no-op when every argument is None and the environment provides no
-    cluster configuration (single-process case) — so call sites can run
-    unconditionally.
+    A no-op when every argument is None and no cluster environment
+    variable is set (single-process case) — decided from the environment
+    alone, so call sites can run this unconditionally and BEFORE any other
+    JAX use.  In a cluster environment, initialization errors propagate
+    (silently falling back to single-process on a pod would train on 1/Nth
+    of the data while looking healthy).
     """
     if (coordinator_address is None and num_processes is None
-            and process_id is None and jax.process_count() == 1):
-        try:
-            jax.distributed.initialize()
-        except Exception:
+            and process_id is None):
+        if not any(v in os.environ for v in _CLUSTER_ENV_VARS):
             return  # no cluster environment: stay single-process
+        jax.distributed.initialize()
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

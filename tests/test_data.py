@@ -128,3 +128,39 @@ def test_prefetch_preserves_order_and_content():
     assert len(out) == 7
     for i, x in enumerate(out):
         np.testing.assert_array_equal(np.asarray(x), data[i])
+
+
+def test_download_fetch_extract_file_url(tmp_path, monkeypatch, capsys):
+    """The fetch/extract path driven by file:// URLs (no network in CI).
+
+    Covers data/download.py end to end: fetch (with skip-if-present),
+    zip and tar.gz extraction, and the download_dataset dispatch.
+    """
+    import tarfile
+    import zipfile
+
+    from lrcn_tpu.data import download
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha")
+    zip_path = tmp_path / "train2014.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        z.write(src / "a.txt", "train2014/a.txt")
+    tar_path = tmp_path / "flickr30k.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as t:
+        t.add(src / "a.txt", "flickr30k/captions.token")
+
+    monkeypatch.setattr(download, "COCO_URLS", [zip_path.as_uri()])
+    monkeypatch.setattr(download, "FLICKR_URLS", [tar_path.as_uri()])
+    root = str(tmp_path / "data")
+    download.download_dataset("coco", root)
+    assert (tmp_path / "data/MsCoCo/train2014/a.txt").read_text() == "alpha"
+    download.download_dataset("flickr", root)
+    assert (tmp_path / "data/Flickr30k/flickr30k/"
+            "captions.token").read_text() == "alpha"
+
+    # idempotent: a second call skips the fetch (archive already present)
+    capsys.readouterr()
+    download.download_dataset("coco", root)
+    assert "downloading" not in capsys.readouterr().out

@@ -173,3 +173,59 @@ def test_vocab_tp_divisibility_guard():
     mesh = make_mesh((4, 2))
     with pytest.raises(ValueError, match="divisible by the 'model'"):
         ShardedTrainStep(cfg, make_optimizer(cfg), mesh)
+
+
+_MULTIPROC_CHILD = """
+import os, sys
+pid, port = int(sys.argv[1]), sys.argv[2]
+os.environ.pop("XLA_FLAGS", None)   # 1 CPU device per process
+import jax
+# the CI image force-registers the experimental TPU platform through a
+# sitecustomize hook that overrides JAX_PLATFORMS; the config flag wins
+jax.config.update("jax_platforms", "cpu")
+from lrcn_tpu.parallel.distributed import host_local_batch, initialize
+initialize("127.0.0.1:" + port, 2, pid)   # before any backend use
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+assert jax.process_count() == 2, jax.process_count()
+from lrcn_tpu.parallel import make_mesh
+mesh = make_mesh((2, 1))
+local = np.full((3, 4), pid + 1.0, np.float32)   # this host's batch rows
+batch = host_local_batch(mesh, {"x": local})
+assert batch["x"].shape == (6, 4)                 # global shape
+total = jax.jit(jnp.sum,
+                out_shardings=NamedSharding(mesh, P()))(batch["x"])
+print("TOTAL", float(total), flush=True)
+"""
+
+
+def test_host_local_batch_two_processes(tmp_path):
+    """Real multi-process path: 2 CPU processes join one coordination
+    service and assemble a global batch via
+    ``make_array_from_process_local_data`` (distributed.py).
+
+    Rows from process 0 are 1.0 and from process 1 are 2.0; the global
+    jitted sum must see BOTH hosts' data: 3*4*1 + 3*4*2 = 36.
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MULTIPROC_CHILD, str(pid), port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=180) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out, err)
+        assert "TOTAL 36.0" in out, (out, err)

@@ -97,21 +97,45 @@ def test_checkpoint_resume_training(tmp_path, tiny_setup):
 
 
 def test_gclip_applies():
-    vocab, caps, store = make_dataset()
+    """clip_by_global_norm(g) must be EXACTLY "rescale grads to norm g".
+
+    Adam is scale-invariant on its first step, so "params moved a bit"
+    cannot detect broken clipping; instead assert the defining property:
+    feeding huge grads through the clipped optimizer equals feeding the
+    same grads pre-scaled to the threshold through an unclipped one — and
+    differs from feeding the raw huge grads through the unclipped one.
+    """
+    import dataclasses
+
+    import optax
+
+    from lrcn_tpu.train.trainer import make_optimizer
+
     cfg = LRCNConfig(hidden=(32, 32), embed=16, cnn_feature_dim=24,
-                     vocab_size=len(vocab), gclip=1e-6, lr=1.0,
-                     dropout=0.0)
-    batches = bucket_batches(caps, vocab, 4, apply_small_dataset_rule=False)
-    trainer = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False))
-    params, opt_state = trainer.init(jax.random.PRNGKey(0))
-    p0 = jax.tree.map(np.asarray, params)
-    params, opt_state, _ = trainer._train_step(
-        params, opt_state,
-        jax.numpy.asarray(batches[0].tokens),
-        jax.numpy.asarray(batches[0].lengths),
-        jax.numpy.asarray(store.gather(batches[0].image_ids)),
-        jax.random.PRNGKey(2))
-    # with gclip ~0 the update direction is bounded; params changed but barely
-    deltas = [np.abs(np.asarray(a) - b).max()
-              for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p0))]
-    assert max(deltas) > 0
+                     vocab_size=20, gclip=0.5, lr=1e-2, dropout=0.0)
+    opt_clip = make_optimizer(cfg)
+    opt_plain = make_optimizer(dataclasses.replace(cfg, gclip=0.0))
+
+    key = jax.random.PRNGKey(0)
+    params = {"a": jax.random.normal(key, (5, 3)),
+              "b": jax.random.normal(jax.random.fold_in(key, 1), (4,))}
+    g1 = jax.tree.map(lambda p: p * 0.01, params)      # norm < gclip
+    g2 = jax.tree.map(lambda p: p * 1e4, params)       # norm >> gclip
+    norm2 = float(optax.global_norm(g2))
+    g2_scaled = jax.tree.map(lambda g: g * (cfg.gclip / norm2), g2)
+
+    s_clip, s_plain = opt_clip.init(params), opt_plain.init(params)
+    u1c, s_clip = opt_clip.update(g1, s_clip, params)
+    u1p, s_plain = opt_plain.update(g1, s_plain, params)
+    for a, b in zip(jax.tree.leaves(u1c), jax.tree.leaves(u1p)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)    # below: identity
+
+    u2c, _ = opt_clip.update(g2, s_clip, params)
+    u2p, _ = opt_plain.update(g2_scaled, s_plain, params)
+    u2raw, _ = opt_plain.update(g2, s_plain, params)
+    for a, b in zip(jax.tree.leaves(u2c), jax.tree.leaves(u2p)):
+        np.testing.assert_allclose(a, b, rtol=1e-5)    # above: exact rescale
+    # a regression dropping the clip stage would reproduce u2raw instead
+    diff = max(float(np.max(np.abs(a - b)))
+               for a, b in zip(jax.tree.leaves(u2c), jax.tree.leaves(u2raw)))
+    assert diff > 1e-4, "clipped update is indistinguishable from unclipped"
