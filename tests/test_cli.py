@@ -291,6 +291,72 @@ def test_train_resume_honors_explicit_flags(synthetic, tmp_path, capsys):
     assert cfg.lr == 5e-4 and cfg.batch_size == 8
 
 
+def test_quality_gate_bleu_overfit(tmp_path):
+    """Asserted end-to-end quality gate: train -> generate -> refs -> BLEU.
+
+    The synthetic corpus is LEARNABLE (features determine the caption:
+    one-hot class features, one fixed caption per class), so a correct
+    train->decode->eval chain must overfit it and score near-perfect
+    BLEU-4 with the reference's scorer semantics (BP off).  Exit codes
+    alone (the round-1 check) pass with a silently-broken model; a BLEU-4
+    floor does not.  Mirrors the reference's only turnkey check
+    (eval/eval.jl:38 + multi-bleu.perl) on a trained model instead of
+    frozen artifacts.
+    """
+    from lrcn_tpu.evaluation.bleu import multi_bleu_files
+    from lrcn_tpu.evaluation.references import build_coco_references
+
+    rng = np.random.default_rng(17)
+    n_classes = 12
+    class_caps = [
+        " ".join(rng.choice(WORDS, 7)) + " ." for _ in range(n_classes)]
+
+    def make_split(path, id0, n_imgs):
+        anns = [{"image_id": id0 + i, "caption": class_caps[i % n_classes]}
+                for i in range(n_imgs) for _ in range(5)]
+        with open(path, "w") as f:
+            json.dump({"annotations": anns}, f)
+        return [id0 + i for i in range(n_imgs)]
+
+    train_json = str(tmp_path / "captions_train.json")
+    val_json = str(tmp_path / "captions_val.json")
+    train_ids = make_split(train_json, 5000, 48)
+    val_ids = make_split(val_json, 9000, 24)
+
+    def one_hot_feats(ids):
+        return {iid: l1_normalize(np.eye(n_classes, dtype=np.float32)[
+            (iid - ids[0]) % n_classes][None])[0] for iid in ids}
+
+    train_store = str(tmp_path / "train_feats")
+    val_store = str(tmp_path / "val_feats")
+    FeatureStore.from_dict(one_hot_feats(train_ids),
+                           normalized=True).save(train_store)
+    FeatureStore.from_dict(one_hot_feats(val_ids),
+                           normalized=True).save(val_store)
+
+    ckpt = str(tmp_path / "gate_ckpt")
+    assert cli.main([
+        "train", "--datafiles", train_json, val_json,
+        "--features", train_store, "--savefile", ckpt,
+        "--epochs", "30", "--batchsize", "16", "--lr", "3e-3",
+        "--hidden", "32", "32", "--embed", "24", "--seed", "13",
+        "--dropout", "0.0", "--compute-dtype", "float32"]) == 0
+
+    cand = str(tmp_path / "cands.txt")
+    ids_file = str(tmp_path / "ids.txt")
+    assert cli.main([
+        "generate", "--loadfile", ckpt, "--features", val_store,
+        "--capnumber", "24", "--generate", "12", "--beam_width", "2",
+        "--batch-size", "24", "--out", cand, "--ids-out", ids_file,
+        "--seed", "7", "--compute-dtype", "float32"]) == 0
+
+    stem = build_coco_references(ids_file, val_json, str(tmp_path / "refs"))
+    result = multi_bleu_files(stem, cand)
+    assert result.bleu[3] >= 0.90, (
+        f"quality gate failed: {result.format()}\n"
+        f"first candidates: {open(cand).read().splitlines()[:3]}")
+
+
 def test_eval_coco_json_path(tmp_path):
     """`lrcn eval` with COCO-style annotations (eval/eval.jl:8-38 flow)."""
     anns = {"annotations": [
