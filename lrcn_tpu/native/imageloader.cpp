@@ -41,9 +41,13 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG to RGB, using DCT scaling to land near (but not below)
-// the target shortest side.  Returns false on any decode error.
+// the target shortest side.  Also reports the ORIGINAL dimensions so the
+// caller can compute the reference's resize geometry from them (the
+// scaled dims can differ by a pixel of rounding).  Returns false on any
+// decode error.
 bool decode_jpeg(const char* path, std::vector<unsigned char>* pixels,
-                 int* width, int* height) {
+                 int* width, int* height, int* orig_width,
+                 int* orig_height) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return false;
 
@@ -60,6 +64,8 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>* pixels,
     jpeg_stdio_src(&cinfo, f);
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = JCS_RGB;  // grayscale/CMYK -> RGB (lrcn.jl:761)
+    *orig_width = static_cast<int>(cinfo.image_width);
+    *orig_height = static_cast<int>(cinfo.image_height);
 
     // Pick the smallest M/8 scale whose shortest side stays >= 224.
     const unsigned min_dim = cinfo.image_width < cinfo.image_height
@@ -126,15 +132,17 @@ void resize_bilinear(const unsigned char* src, int h, int w, int new_h,
 // Full pipeline for one image -> out (224,224,3).  Returns 0 on success.
 int load_one(const char* path, unsigned char* out) {
     std::vector<unsigned char> pixels;
-    int w = 0, h = 0;
-    if (!decode_jpeg(path, &pixels, &w, &h)) return 1;
-    const int m = w < h ? w : h;
-    if (m <= 0) return 2;
-    // reference integer arithmetic (lrcn.jl:756)
+    int w = 0, h = 0, ow = 0, oh = 0;
+    if (!decode_jpeg(path, &pixels, &w, &h, &ow, &oh)) return 1;
+    if (w <= 0 || h <= 0 || ow <= 0 || oh <= 0) return 2;
+    // reference integer arithmetic (lrcn.jl:756) computed from the
+    // ORIGINAL dimensions — DCT-scaled dims round and would shift the
+    // target (and thus the center crop) by +/-1 px on some sizes.
+    const int m = ow < oh ? ow : oh;
     const int new_h = static_cast<int>(
-        static_cast<long long>(h) * kCrop / m);
+        static_cast<long long>(oh) * kCrop / m);
     const int new_w = static_cast<int>(
-        static_cast<long long>(w) * kCrop / m);
+        static_cast<long long>(ow) * kCrop / m);
     std::vector<unsigned char> resized(
         static_cast<size_t>(new_h) * new_w * 3);
     resize_bilinear(pixels.data(), h, w, new_h, new_w, resized.data());

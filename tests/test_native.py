@@ -101,6 +101,35 @@ class TestImageLoader:
                           - pil.astype(np.float32)).mean()
             assert diff < 12.0, (p, diff)
 
+    def test_loader_geometry_from_original_dims(self, tmp_path):
+        """Resize targets must come from the ORIGINAL dims, not DCT-scaled.
+
+        500x353: reference geometry gives new_w = 500*224//353 = 317;
+        computing from the 6/8-DCT-scaled decode (375x265) gives 316,
+        shifting the center crop.  A strong horizontal gradient makes a
+        one-pixel geometry error visible as a large mean difference.
+        """
+        import numpy as np
+        from PIL import Image
+
+        from lrcn_tpu.data.images import (
+            decode_image,
+            load_batch_native,
+            resize_crop,
+        )
+
+        grad = np.tile(
+            np.linspace(0, 255, 500, dtype=np.uint8)[None, :, None],
+            (353, 1, 3))
+        path = str(tmp_path / "grad.jpg")
+        Image.fromarray(grad).save(path, quality=95)
+        out, ok = load_batch_native([path])
+        assert ok.all()
+        pil = resize_crop(decode_image(path))
+        diff = np.abs(out[0].astype(np.float32)
+                      - pil.astype(np.float32)).mean()
+        assert diff < 2.0, diff   # sub-pixel resampler noise only
+
     def test_loader_flags_bad_files(self, tmp_path):
         from lrcn_tpu.data.images import load_batch_native
         good = self._make_jpegs(tmp_path, 1)[0]
