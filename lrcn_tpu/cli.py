@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "captions, lrcn.jl:299-327) instead of bucketing")
     p.add_argument("--mesh", type=int, nargs=2, metavar=("DP", "TP"),
                    help="train over a (data, model) device mesh")
+    p.add_argument("--pipeline", action="store_true",
+                   help="pipeline the 2 LSTM layers over the mesh's "
+                        "'model' axis (must be 2), which also serves as "
+                        "the vocab tensor-parallel axis; requires "
+                        "hidden1 == hidden2 == embed, even")
     p.add_argument("--metrics", help="JSONL metrics file")
     # --- joint CNN+LSTM fine-tune (paper LRCN-2f, 1411.4389.pdf Table 6;
     #     the reference only ever trains on frozen offline features) ---
@@ -286,9 +291,12 @@ def cmd_train(args) -> int:
     if args.mesh:
         from lrcn_tpu.parallel import make_mesh
         mesh = make_mesh(tuple(args.mesh))
+    elif args.pipeline:
+        raise SystemExit("lrcn train: --pipeline requires --mesh DP 2")
 
     metrics = MetricsLogger(args.metrics)
-    trainer = Trainer(cfg, vocab, metrics, mesh=mesh)
+    trainer = Trainer(cfg, vocab, metrics, mesh=mesh,
+                      pipeline=args.pipeline)
     key = jax.random.PRNGKey(max(cfg.seed, 0))
     init_params, opt_state = trainer.init(key)
     if params is None:

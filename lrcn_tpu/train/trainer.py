@@ -53,14 +53,23 @@ class Trainer:
     """
 
     def __init__(self, cfg: LRCNConfig, vocab: Vocab,
-                 metrics: MetricsLogger | None = None, mesh=None):
+                 metrics: MetricsLogger | None = None, mesh=None,
+                 pipeline: bool = False):
         self.cfg = cfg
         self.vocab = vocab
         self.metrics = metrics or MetricsLogger()
         self.opt = make_optimizer(cfg)
         self._compute_dtype = jnp.dtype(cfg.compute_dtype)
         self._sharded = None
-        if mesh is not None:
+        self._pipeline = pipeline and mesh is not None
+        if self._pipeline:
+            # PP over the 2 LSTM layers + vocab TP on 'model', DP on 'data'
+            # (parallel/pipeline.py); same host-facing step API.
+            from lrcn_tpu.parallel.pipeline import PipelinedTrainStep
+            self._sharded = PipelinedTrainStep(cfg, self.opt, mesh)
+            self._train_step = self._sharded
+            self._eval_step = self._sharded.eval_batch
+        elif mesh is not None:
             from lrcn_tpu.parallel.train import ShardedTrainStep
             self._sharded = ShardedTrainStep(cfg, self.opt, mesh)
             self._train_step = self._sharded
@@ -163,7 +172,13 @@ class Trainer:
                 params, opt_state, train_batches, train_store, rng_key,
                 shuffle_rng)
             if savefile:
-                save_checkpoint(savefile, params, self.vocab, self.cfg,
+                # pipeline-layout params convert back to the standard
+                # decoder pytree so checkpoints stay layout-independent
+                # (the opt state keeps the training layout; resuming with
+                # a different layout resets it with a printed note)
+                ckpt_params = (self._sharded.unshard_params(params)
+                               if self._pipeline else params)
+                save_checkpoint(savefile, ckpt_params, self.vocab, self.cfg,
                                 opt_state=opt_state, epoch=epoch)
             record = {"event": "epoch", "epoch": epoch}
             if eval_train_loss:

@@ -121,6 +121,24 @@ def test_train_on_mesh(synthetic):
     assert rc == 0
 
 
+def test_train_on_mesh_pipelined(synthetic):
+    """--pipeline: PP over the LSTM layers + vocab TP on the model axis;
+    the checkpoint comes out in the standard decoder layout."""
+    tmp = synthetic["tmp"]
+    ckpt = str(tmp / "ckpt_pp")
+    rc = cli.main([
+        "train", "--datafiles", synthetic["token"],
+        "--features", synthetic["feats"], "--savefile", ckpt,
+        "--epochs", "1", "--batchsize", "16", "--mesh", "4", "2",
+        "--pipeline", "--hidden", "32", "32", "--embed", "32",
+        "--seed", "3", "--dropout", "0.0", "--compute-dtype", "float32"])
+    assert rc == 0
+    with np.load(os.path.join(ckpt, "params.npz")) as z:
+        keys = set(z.files)
+    assert any(k.startswith("lstm1/") for k in keys), keys
+    assert not any(k.startswith("lstm_pp") for k in keys), keys
+
+
 def test_console_script_entrypoint():
     out = subprocess.run([sys.executable, "-m", "lrcn_tpu.cli", "--help"],
                          capture_output=True, text=True, cwd="/tmp")
