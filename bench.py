@@ -105,46 +105,50 @@ def bench_vgg() -> dict:
 
 
 def bench_train() -> dict:
-    """Decoder training throughput in words/s (reference: slide 7)."""
-    import functools
+    """Decoder training throughput in words/s (reference: slide 7).
 
-    import optax
-
+    Measures the production path: 8 optimizer steps per dispatch
+    (``Trainer(steps_per_dispatch=8)``'s scanned program) with the fc7
+    feature table HBM-resident and gathered by row index on device.
+    Per-step dispatching measures ~67k words/s wall on the same chip; the
+    scan amortizes host overhead to near device time (~12.4 ms/step).
+    """
+    from lrcn_tpu.core.vocab import Vocab
     from lrcn_tpu.models import lrcn
-    from lrcn_tpu.train.trainer import make_optimizer
+    from lrcn_tpu.train.metrics import MetricsLogger
+    from lrcn_tpu.train.trainer import Trainer
 
     cfg = LRCNConfig(hidden=(1000, 1000), embed=1000, vocab_size=8800,
                      dropout=0.4)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    trainer = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False),
+                      steps_per_dispatch=8)
     params = jax.device_put(lrcn.init_params(jax.random.PRNGKey(0), cfg))
-    opt = make_optimizer(cfg)
-    opt_state = opt.init(params)
+    opt_state = trainer.opt.init(params)
 
-    b, length = 256, 20
+    k, b, length = 8, 256, 20
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, (b, length)),
-                         jnp.int32)
-    lengths = jnp.asarray(rng.integers(10, length + 1, (b,)), jnp.int32)
-    feats = jnp.asarray(rng.standard_normal((b, cfg.cnn_feature_dim)),
-                        jnp.float32)
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, rng):
-        loss, grads = jax.value_and_grad(lrcn.loss_fn)(
-            params, tokens, lengths, feats, pdrop=cfg.dropout, rng=rng)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    table = jnp.asarray(
+        rng.standard_normal((10_000, cfg.cnn_feature_dim)), jnp.float32)
+    tokens_k = jnp.asarray(
+        rng.integers(3, cfg.vocab_size, (k, b, length)), jnp.int32)
+    lengths_k = jnp.asarray(rng.integers(10, length + 1, (k, b)), jnp.int32)
+    rows_k = jnp.asarray(rng.integers(0, 10_000, (k, b)), jnp.int32)
 
     key = jax.random.PRNGKey(1)
-    params, opt_state, loss = step(params, opt_state, key)
-    float(loss)  # compile + sync
+    params, opt_state, losses = trainer._multi_step(
+        params, opt_state, tokens_k, lengths_k, rows_k, table, key,
+        np.int32(0))
+    float(losses[-1])  # compile + sync
 
-    n_iters = 20
-    words = int(jnp.sum(lengths)) * n_iters
+    n_iters = 5
+    words = int(jnp.sum(lengths_k)) * n_iters
     t0 = time.perf_counter()
     for i in range(n_iters):
-        params, opt_state, loss = step(params, opt_state,
-                                       jax.random.fold_in(key, i))
-    float(loss)
+        params, opt_state, losses = trainer._multi_step(
+            params, opt_state, tokens_k, lengths_k, rows_k, table, key,
+            np.int32(k * (i + 1)))
+    float(losses[-1])
     dt = time.perf_counter() - t0
 
     words_per_sec = words / dt

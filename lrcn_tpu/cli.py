@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the vocab tensor-parallel axis; requires "
                         "hidden1 == hidden2 == embed, even")
     p.add_argument("--metrics", help="JSONL metrics file")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="run N optimizer steps per device dispatch "
+                        "(scanned same-shape batches, feature table "
+                        "resident in HBM); amortizes host overhead")
     # --- joint CNN+LSTM fine-tune (paper LRCN-2f, 1411.4389.pdf Table 6;
     #     the reference only ever trains on frozen offline features) ---
     p.add_argument("--joint", action="store_true",
@@ -296,7 +300,8 @@ def cmd_train(args) -> int:
 
     metrics = MetricsLogger(args.metrics)
     trainer = Trainer(cfg, vocab, metrics, mesh=mesh,
-                      pipeline=args.pipeline)
+                      pipeline=args.pipeline,
+                      steps_per_dispatch=args.steps_per_dispatch)
     key = jax.random.PRNGKey(max(cfg.seed, 0))
     init_params, opt_state = trainer.init(key)
     if params is None:

@@ -139,6 +139,25 @@ class FeatureStore:
         parts.append(np.stack(self._rows))
         return np.concatenate(parts, axis=0)[rows]
 
+    def rows(self, image_ids: Sequence[int] | np.ndarray) -> np.ndarray:
+        """Row indices of ``image_ids`` into ``table()`` -> (B,) int32.
+
+        For device-resident training: upload ``table()`` to HBM once, then
+        feed batches as row indices (a few KB) instead of feature rows
+        (MBs) — the gather happens on device inside the jitted step.
+        """
+        return np.fromiter((self._index[int(i)] for i in image_ids),
+                           np.int32, count=len(image_ids))
+
+    def table(self) -> np.ndarray:
+        """The full (N, dim) float32 feature table, rows as in ``rows()``."""
+        parts = ([np.asarray(self._mmap)] if self._mmap_count else [])
+        if self._rows:
+            parts.append(np.stack(self._rows))
+        if not parts:
+            return np.empty((0, self.dim), np.float32)
+        return np.concatenate(parts, axis=0)
+
     def missing(self, image_ids: Iterable[int]) -> list[int]:
         """Ids not yet in the store (resumable extraction, lrcn.jl:203)."""
         return [i for i in dict.fromkeys(int(x) for x in image_ids)

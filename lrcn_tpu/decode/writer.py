@@ -61,7 +61,11 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
     if sample_n > 0 and rng is None:
         rng = jax.random.PRNGKey(0)
 
-    lines: list[str] = []
+    # Phase 1: enqueue every batch's decode — dispatches are async, so the
+    # device streams through batches back-to-back instead of idling on a
+    # host round trip per batch.  Phase 2 fetches the (small) token
+    # matrices and formats lines.
+    pending: list[tuple] = []
     n = len(image_ids)
     for start in range(0, n, batch_size):
         ids = list(image_ids[start:start + batch_size])
@@ -86,6 +90,10 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
             tokens, _ = beam_search(params, feats, beam_width=beam_width,
                                     max_words=max_words,
                                     compute_dtype=compute_dtype)
+        pending.append((tokens, n_real))
+
+    lines: list[str] = []
+    for tokens, n_real in pending:
         tokens = np.asarray(tokens)
         lines.extend(caption_to_line(tokens[i], vocab)
                      for i in range(n_real))

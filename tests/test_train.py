@@ -139,3 +139,73 @@ def test_gclip_applies():
     diff = max(float(np.max(np.abs(a - b)))
                for a, b in zip(jax.tree.leaves(u2c), jax.tree.leaves(u2raw)))
     assert diff > 1e-4, "clipped update is indistinguishable from unclipped"
+
+
+def test_multi_step_matches_sequential_single_steps(tiny_setup):
+    """K scanned steps (device-resident feature table) == K sequential
+    single steps with the same batches and rng keys."""
+    import jax.numpy as jnp
+
+    cfg, vocab, caps, store, batches = tiny_setup
+    import dataclasses
+    cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    same_shape = [b for b in batches if b.padded_len == batches[0].padded_len
+                  and b.batch_size == batches[0].batch_size][:2]
+    assert len(same_shape) == 2
+
+    t_multi = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False),
+                      steps_per_dispatch=2)
+    t_single = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False))
+    params_m, opt_m = t_multi.init(jax.random.PRNGKey(0))
+    params_s, opt_s = t_single.init(jax.random.PRNGKey(0))
+
+    base = jax.random.PRNGKey(7)
+    rngs = [jax.random.fold_in(base, i) for i in range(2)]
+    tokens_k = np.stack([b.tokens for b in same_shape])
+    lengths_k = np.stack([b.lengths for b in same_shape])
+    rows_k = np.stack([store.rows(b.image_ids) for b in same_shape])
+    params_m, opt_m, losses = t_multi._multi_step(
+        params_m, opt_m, jnp.asarray(tokens_k), jnp.asarray(lengths_k),
+        jnp.asarray(rows_k), t_multi._device_table(store), base,
+        np.int32(0))
+
+    s_losses = []
+    for b, rng in zip(same_shape, rngs):
+        params_s, opt_s, loss = t_single._train_step(
+            params_s, opt_s, jnp.asarray(b.tokens), jnp.asarray(b.lengths),
+            jnp.asarray(store.gather(b.image_ids), jnp.float32), rng)
+        s_losses.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses), s_losses, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_m), jax.tree.leaves(params_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_multi_step_fit_overfits(tiny_setup):
+    """Full fit with steps_per_dispatch=3 (exercises the per-shape tail)."""
+    cfg, vocab, caps, store, batches = tiny_setup
+    trainer = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False),
+                      steps_per_dispatch=3)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loss0 = trainer.average_loss(params, batches, store)
+    params, opt_state = trainer.fit(
+        params, opt_state, batches, None, store, None,
+        jax.random.PRNGKey(1), epochs=40, eval_train_loss=False)
+    loss1 = trainer.average_loss(params, batches, store)
+    assert loss1 < loss0 * 0.2, (loss0, loss1)
+
+
+def test_multi_step_on_mesh(tiny_setup):
+    """Scanned multi-step over a DP x TP mesh (table replicated)."""
+    from lrcn_tpu.parallel import make_mesh
+
+    cfg, vocab, caps, store, batches = tiny_setup
+    mesh = make_mesh((4, 1))
+    trainer = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False),
+                      mesh=mesh, steps_per_dispatch=2)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    params, opt_state, _ = trainer.train_epoch(
+        params, opt_state, batches, store, jax.random.PRNGKey(1),
+        np.random.default_rng(0))
+    assert np.isfinite(
+        trainer.average_loss(params, batches, store))
