@@ -19,7 +19,7 @@ import numpy as np
 
 from lrcn_tpu.core.vocab import EOS_ID, Vocab
 from lrcn_tpu.data.feature_store import FeatureStore, l1_normalize
-from lrcn_tpu.decode.beam import beam_search, greedy_search
+from lrcn_tpu.decode.beam import beam_search_scan, greedy_search
 from lrcn_tpu.models.lrcn import Params
 
 
@@ -61,11 +61,8 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
     if sample_n > 0 and rng is None:
         rng = jax.random.PRNGKey(0)
 
-    # Phase 1: enqueue every batch's decode — dispatches are async, so the
-    # device streams through batches back-to-back instead of idling on a
-    # host round trip per batch.  Phase 2 fetches the (small) token
-    # matrices and formats lines.
-    pending: list[tuple] = []
+    # Host prep: pad every batch to a static shape, gather features.
+    host_batches: list[tuple[np.ndarray, int]] = []
     n = len(image_ids)
     for start in range(0, n, batch_size):
         ids = list(image_ids[start:start + batch_size])
@@ -75,28 +72,45 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
         feats = store.gather(ids).astype(np.float32)
         if normalize:
             feats = l1_normalize(feats)
-        feats = jnp.asarray(feats)
-        if sample_n > 0:
-            from lrcn_tpu.decode.sample import best_of_n_search
-            rng, k = jax.random.split(rng)
-            tokens, _ = best_of_n_search(
-                params, feats, k, n_samples=sample_n,
-                temperature=temperature, max_words=max_words,
-                compute_dtype=compute_dtype)
-        elif beam_width == 1:
-            tokens, _ = greedy_search(params, feats, max_words=max_words,
-                                      compute_dtype=compute_dtype)
-        else:
-            tokens, _ = beam_search(params, feats, beam_width=beam_width,
-                                    max_words=max_words,
-                                    compute_dtype=compute_dtype)
-        pending.append((tokens, n_real))
+        host_batches.append((feats, n_real))
+
+    # Decode phase: every dispatch is enqueued before any result is
+    # fetched (dispatches are async, so the device streams through
+    # batches without idling on host round trips), and the beam path
+    # additionally scans groups of batches inside ONE dispatch.
+    pending: list[tuple] = []   # (tokens device array [G?, B, T], [n_real])
+    if sample_n > 0 or beam_width == 1:
+        for feats, n_real in host_batches:
+            feats = jnp.asarray(feats)
+            if sample_n > 0:
+                from lrcn_tpu.decode.sample import best_of_n_search
+                rng, k = jax.random.split(rng)
+                tokens, _ = best_of_n_search(
+                    params, feats, k, n_samples=sample_n,
+                    temperature=temperature, max_words=max_words,
+                    compute_dtype=compute_dtype)
+            else:
+                tokens, _ = greedy_search(params, feats,
+                                          max_words=max_words,
+                                          compute_dtype=compute_dtype)
+            pending.append((tokens[None], [n_real]))
+    else:
+        scan_depth = 4
+        for g in range(0, len(host_batches), scan_depth):
+            group = host_batches[g:g + scan_depth]
+            stacked = jnp.asarray(np.stack([f for f, _ in group]))
+            tokens, _ = beam_search_scan(params, stacked,
+                                         beam_width=beam_width,
+                                         max_words=max_words,
+                                         compute_dtype=compute_dtype)
+            pending.append((tokens, [nr for _, nr in group]))
 
     lines: list[str] = []
-    for tokens, n_real in pending:
+    for tokens, n_reals in pending:
         tokens = np.asarray(tokens)
-        lines.extend(caption_to_line(tokens[i], vocab)
-                     for i in range(n_real))
+        for gi, n_real in enumerate(n_reals):
+            lines.extend(caption_to_line(tokens[gi, i], vocab)
+                         for i in range(n_real))
     return lines
 
 
