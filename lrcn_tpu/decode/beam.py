@@ -121,12 +121,22 @@ def _beam_search_impl(params: Params, feats: jax.Array, *,
             params, flat_state, last.reshape(b_dim * k), cnn_flat,
             compute_dtype, use_pallas=use_pallas)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        cand = c.scores[:, :, None] + logp.reshape(b_dim, k, vocab_size)
 
-        top_scores, top_idx = jax.lax.top_k(
-            cand.reshape(b_dim, k * vocab_size), k)            # (B, K)
-        parent = top_idx // vocab_size
-        word = (top_idx % vocab_size).astype(jnp.int32)
+        # Two-stage candidate selection, exactly equivalent to one top-K
+        # over the flattened (K, V) candidates: each hypothesis contributes
+        # at most K survivors, so a per-hypothesis top-K over the vocab
+        # followed by a top-K over the K*K shortlist yields the same set —
+        # and the same tie order (both flattenings are hypothesis-major,
+        # and within a hypothesis adding its cumulative score preserves
+        # order).  This avoids a (B, K*V) reshape whose layout copies cost
+        # ~11% of the whole search (profiled on v5e).
+        step_scores, step_words = jax.lax.top_k(logp, k)       # (B*K, K)
+        cand = (c.scores[:, :, None]
+                + step_scores.reshape(b_dim, k, k))            # (B, K, K)
+        top_scores, idx = jax.lax.top_k(cand.reshape(b_dim, k * k), k)
+        parent = idx // k
+        word = jnp.take_along_axis(
+            step_words.reshape(b_dim, k * k), idx, axis=1).astype(jnp.int32)
 
         new_state = LSTMState(*(
             _gather_beams(s.reshape(b_dim, k, -1), parent) for s in new_flat))
