@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-features",
                    help="FeatureStore dir for validation features")
     p.add_argument("--savefile", help="checkpoint dir, saved per epoch")
+    p.add_argument("--bestfile",
+                   help="checkpoint dir updated only when the epoch's "
+                        "validation loss improves (the reference's "
+                        "--bestfile was declared in a stale variant and "
+                        "referenced at lrcn.jl:63 without being declared "
+                        "— a latent KeyError; here it works)")
     p.add_argument("--epochs", type=int, default=10)
     # None = "not passed": fresh runs fall back to the LRCNConfig defaults
     # (batchsize 25, lr 1e-3, gclip 0, dropout 0.4 — lrcn.jl:41-45,227);
@@ -339,7 +345,7 @@ def cmd_train(args) -> int:
 
     trainer.fit(params, opt_state, train_batches, val_batches, store,
                 val_store, jax.random.PRNGKey(max(cfg.seed, 0) + 1),
-                savefile=args.savefile)
+                savefile=args.savefile, bestfile=args.bestfile)
     metrics.close()
     return 0
 

@@ -279,23 +279,30 @@ class Trainer:
             val_batches: Sequence[Batch] | None,
             train_store: FeatureStore, val_store: FeatureStore | None,
             rng_key: jax.Array, *, epochs: int | None = None,
-            savefile: str | None = None,
+            savefile: str | None = None, bestfile: str | None = None,
             eval_train_loss: bool = True) -> tuple:
-        """Full training loop (reference: train!, lrcn.jl:223-246)."""
+        """Full training loop (reference: train!, lrcn.jl:223-246).
+
+        ``bestfile``: additionally checkpoint whenever the epoch's
+        validation loss improves.  (The reference's stale variant declared
+        ``--bestfile`` and lrcn.jl:63 still references it without declaring
+        the flag — a latent KeyError; here it works.)
+        """
         epochs = epochs if epochs is not None else self.cfg.epochs
         seed = self.cfg.seed if self.cfg.seed > 0 else None
         shuffle_rng = np.random.default_rng(seed)
+        best_val = float("inf")
         for epoch in range(1, epochs + 1):
             params, opt_state, rng_key = self.train_epoch(
                 params, opt_state, train_batches, train_store, rng_key,
                 shuffle_rng)
+            # pipeline-layout params convert back to the standard decoder
+            # pytree so checkpoints stay layout-independent (the opt state
+            # keeps the training layout; resuming with a different layout
+            # resets it with a printed note)
+            ckpt_params = (self._sharded.unshard_params(params)
+                           if self._pipeline else params)
             if savefile:
-                # pipeline-layout params convert back to the standard
-                # decoder pytree so checkpoints stay layout-independent
-                # (the opt state keeps the training layout; resuming with
-                # a different layout resets it with a printed note)
-                ckpt_params = (self._sharded.unshard_params(params)
-                               if self._pipeline else params)
                 save_checkpoint(savefile, ckpt_params, self.vocab, self.cfg,
                                 opt_state=opt_state, epoch=epoch)
             record = {"event": "epoch", "epoch": epoch}
@@ -303,7 +310,13 @@ class Trainer:
                 record["train_loss"] = round(
                     self.average_loss(params, train_batches, train_store), 4)
             if val_batches is not None and val_store is not None:
-                record["val_loss"] = round(
-                    self.average_loss(params, val_batches, val_store), 4)
+                val_loss = self.average_loss(params, val_batches, val_store)
+                record["val_loss"] = round(val_loss, 4)
+                if bestfile and val_loss < best_val:
+                    best_val = val_loss
+                    save_checkpoint(bestfile, ckpt_params, self.vocab,
+                                    self.cfg, opt_state=opt_state,
+                                    epoch=epoch)
+                    record["best"] = True
             self.metrics.log(**record)
         return params, opt_state

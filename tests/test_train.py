@@ -209,3 +209,23 @@ def test_multi_step_on_mesh(tiny_setup):
         np.random.default_rng(0))
     assert np.isfinite(
         trainer.average_loss(params, batches, store))
+
+
+def test_bestfile_tracks_best_val_loss(tmp_path, tiny_setup):
+    """--bestfile checkpoints only on validation improvement (the
+    reference's latent :bestfile bug at lrcn.jl:63, implemented working)."""
+    cfg, vocab, caps, store, batches = tiny_setup
+    trainer = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False))
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    trainer.fit(params, opt_state, batches, batches, store, store,
+                jax.random.PRNGKey(1), epochs=3, eval_train_loss=False,
+                savefile=str(tmp_path / "last"),
+                bestfile=str(tmp_path / "best"))
+    best = load_checkpoint(str(tmp_path / "best"))
+    last = load_checkpoint(str(tmp_path / "last"))
+    assert last["epoch"] == 3
+    # loss decreases monotonically while overfitting: best == last epoch
+    assert best["epoch"] == 3
+    for a, b in zip(jax.tree.leaves(best["params"]),
+                    jax.tree.leaves(last["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
