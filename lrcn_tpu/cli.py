@@ -375,6 +375,18 @@ def _train_joint(args) -> int:
 
     if not args.images:
         raise SystemExit("lrcn train --joint: --images is required")
+    for flag, value in (("--pipeline", args.pipeline),
+                        ("--steps-per-dispatch",
+                         args.steps_per_dispatch > 1),
+                        ("--equal-length-batches",
+                         args.equal_length_batches),
+                        ("--features", args.features),
+                        ("--val-features", args.val_features)):
+        if value:
+            raise SystemExit(
+                f"lrcn train --joint does not support {flag} (joint "
+                "training decodes images per batch; features come from "
+                "the live encoder)")
 
     exts = (".jpg", ".jpeg", ".png", ".bmp")
     image_paths = {
@@ -446,13 +458,14 @@ def _train_joint(args) -> int:
     train_batches = bucket_batches(train_caps, vocab, cfg.batch_size)
     val_batches = (bucket_batches(val_caps, vocab, cfg.batch_size)
                    if val_caps else None)
-    if args.savefile:
-        os.makedirs(args.savefile, exist_ok=True)
-        np.save(os.path.join(args.savefile, "average_image.npy"),
-                average_image)
+    for ckpt_dir in (args.savefile, args.bestfile):
+        if ckpt_dir:   # `lrcn caption` reads this next to a joint ckpt
+            os.makedirs(ckpt_dir, exist_ok=True)
+            np.save(os.path.join(ckpt_dir, "average_image.npy"),
+                    average_image)
     trainer.fit(params, opt_state, train_batches, val_batches,
                 jax.random.PRNGKey(max(cfg.seed, 0) + 1),
-                savefile=args.savefile)
+                savefile=args.savefile, bestfile=args.bestfile)
     metrics.close()
     return 0
 

@@ -38,12 +38,30 @@ KARPATHY_URLS = [
 
 
 def fetch(url: str, dest_dir: str) -> str:
-    """Download ``url`` into ``dest_dir`` unless already present."""
+    """Download ``url`` into ``dest_dir`` unless already present.
+
+    Downloads to a ``.part`` file and renames on success, so an
+    interrupted fetch is never mistaken for a finished archive on retry.
+    """
     os.makedirs(dest_dir, exist_ok=True)
     path = os.path.join(dest_dir, os.path.basename(url))
     if not os.path.exists(path):
         print(f"downloading {url}")
-        urllib.request.urlretrieve(url, path)
+        part = path + ".part"
+        try:
+            urllib.request.urlretrieve(url, part)
+        except Exception as e:
+            if os.path.exists(part):
+                os.remove(part)
+            if "DenotationGraph" in url:
+                raise RuntimeError(
+                    f"could not fetch {url}: {e}. Flickr30k is gated "
+                    "behind a signup form — request access at "
+                    "https://shannon.cs.illinois.edu/DenotationGraph/ and "
+                    "place the archives in "
+                    f"{dest_dir} manually") from e
+            raise
+        os.replace(part, path)
     return path
 
 

@@ -61,26 +61,40 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
     if sample_n > 0 and rng is None:
         rng = jax.random.PRNGKey(0)
 
-    # Host prep: pad every batch to a static shape, gather features.
-    host_batches: list[tuple[np.ndarray, int]] = []
-    n = len(image_ids)
-    for start in range(0, n, batch_size):
-        ids = list(image_ids[start:start + batch_size])
+    def host_batch(batch_ids: list) -> tuple[np.ndarray, int]:
+        """Pad one batch of ids to a static shape and gather features."""
+        ids = list(batch_ids)
         n_real = len(ids)
         while len(ids) < batch_size:   # static shape for XLA
             ids.append(ids[-1])
         feats = store.gather(ids).astype(np.float32)
         if normalize:
             feats = l1_normalize(feats)
-        host_batches.append((feats, n_real))
+        return feats, n_real
 
-    # Decode phase: every dispatch is enqueued before any result is
-    # fetched (dispatches are async, so the device streams through
-    # batches without idling on host round trips), and the beam path
-    # additionally scans groups of batches inside ONE dispatch.
-    pending: list[tuple] = []   # (tokens device array [G?, B, T], [n_real])
+    n = len(image_ids)
+    id_batches = [image_ids[s:s + batch_size]
+                  for s in range(0, n, batch_size)]
+
+    # Decode loop: up to ``max_inflight`` dispatches stay enqueued before
+    # the oldest result is fetched — the device streams through batches
+    # without idling on host round trips, while host/device memory stays
+    # O(batch), not O(dataset).  The beam path additionally scans groups
+    # of batches inside ONE dispatch.
+    lines: list[str] = []
+    pending: list[tuple] = []   # (tokens device array (G, B, T), [n_real])
+    max_inflight = 4
+
+    def drain_one():
+        tokens, n_reals = pending.pop(0)
+        tokens = np.asarray(tokens)
+        for gi, n_real in enumerate(n_reals):
+            lines.extend(caption_to_line(tokens[gi, i], vocab)
+                         for i in range(n_real))
+
     if sample_n > 0 or beam_width == 1:
-        for feats, n_real in host_batches:
+        for batch_ids in id_batches:
+            feats, n_real = host_batch(batch_ids)
             feats = jnp.asarray(feats)
             if sample_n > 0:
                 from lrcn_tpu.decode.sample import best_of_n_search
@@ -94,23 +108,24 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
                                           max_words=max_words,
                                           compute_dtype=compute_dtype)
             pending.append((tokens[None], [n_real]))
+            if len(pending) > max_inflight:
+                drain_one()
     else:
         scan_depth = 4
-        for g in range(0, len(host_batches), scan_depth):
-            group = host_batches[g:g + scan_depth]
+        for g in range(0, len(id_batches), scan_depth):
+            group = [host_batch(ids)
+                     for ids in id_batches[g:g + scan_depth]]
             stacked = jnp.asarray(np.stack([f for f, _ in group]))
             tokens, _ = beam_search_scan(params, stacked,
                                          beam_width=beam_width,
                                          max_words=max_words,
                                          compute_dtype=compute_dtype)
             pending.append((tokens, [nr for _, nr in group]))
+            if len(pending) > max_inflight:
+                drain_one()
 
-    lines: list[str] = []
-    for tokens, n_reals in pending:
-        tokens = np.asarray(tokens)
-        for gi, n_real in enumerate(n_reals):
-            lines.extend(caption_to_line(tokens[gi, i], vocab)
-                         for i in range(n_real))
+    while pending:
+        drain_one()
     return lines
 
 

@@ -31,6 +31,9 @@ _CLUSTER_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",       # jax-native
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU
+    "TPU_WORKER_HOSTNAMES",           # Cloud TPU pod workers
+    "TPU_WORKER_ID",
+    "CLOUD_TPU_TASK_ID",              # GKE TPU
     "SLURM_JOB_NUM_NODES",            # cluster schedulers jax can parse
     "OMPI_COMM_WORLD_SIZE",
 )
@@ -47,6 +50,11 @@ def initialize(coordinator_address: str | None = None,
     JAX use.  In a cluster environment, initialization errors propagate
     (silently falling back to single-process on a pod would train on 1/Nth
     of the data while looking healthy).
+
+    Caveat: environments whose cluster identity lives ONLY behind a
+    metadata server (no env vars at all) are not auto-detected by the
+    no-arg path; pass coordinator_address/num_processes/process_id
+    explicitly there.
     """
     if (coordinator_address is None and num_processes is None
             and process_id is None):

@@ -30,12 +30,18 @@ from lrcn_tpu.core.vocab import Vocab
 
 
 def _flatten_params(params: Any) -> dict[str, np.ndarray]:
+    def part(p) -> str:
+        # explicit hasattr chain: a truthiness `or` would skip falsy keys
+        # (dict key 0, empty string) and corrupt the path
+        if hasattr(p, "key"):
+            return str(p.key)
+        if hasattr(p, "name"):      # GetAttrKey (NamedTuple params)
+            return str(p.name)
+        return str(getattr(p, "idx", ""))
+
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = "/".join(
-            str(getattr(p, "key", None) or getattr(p, "name", None)
-                or getattr(p, "idx", "")) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat["/".join(part(p) for p in path)] = np.asarray(leaf)
     return flat
 
 

@@ -149,10 +149,12 @@ class JointTrainer:
 
     def fit(self, params, opt_state, train_batches: Sequence[Batch],
             val_batches: Sequence[Batch] | None, rng_key: jax.Array, *,
-            epochs: int | None = None, savefile: str | None = None) -> tuple:
+            epochs: int | None = None, savefile: str | None = None,
+            bestfile: str | None = None) -> tuple:
         epochs = epochs if epochs is not None else self.cfg.epochs
         seed = self.cfg.seed if self.cfg.seed > 0 else None
         shuffle_rng = np.random.default_rng(seed)
+        best_val = float("inf")
         for epoch in range(1, epochs + 1):
             params, opt_state, rng_key = self.train_epoch(
                 params, opt_state, train_batches, rng_key, shuffle_rng)
@@ -161,8 +163,13 @@ class JointTrainer:
                                 opt_state=opt_state, epoch=epoch)
             record = {"event": "epoch", "epoch": epoch}
             if val_batches is not None:
-                record["val_loss"] = round(
-                    self.average_loss(params, val_batches), 4)
+                val_loss = self.average_loss(params, val_batches)
+                record["val_loss"] = round(val_loss, 4)
+                if bestfile and val_loss < best_val:
+                    best_val = val_loss
+                    save_checkpoint(bestfile, params, self.vocab, self.cfg,
+                                    opt_state=opt_state, epoch=epoch)
+                    record["best"] = True
             self.metrics.log(**record)
         return params, opt_state
 

@@ -71,7 +71,7 @@ class Trainer:
         self.steps_per_dispatch = (1 if self._pipeline
                                    else max(1, steps_per_dispatch))
         self._multi_step = None
-        self._table_cache: tuple[int, jax.Array] | None = None
+        self._table_cache = None   # (weakref to store, device table)
         if self.steps_per_dispatch > 1:
             kwargs = {}
             if mesh is not None:
@@ -169,14 +169,22 @@ class Trainer:
                                   transform=transform)
 
     def _device_table(self, store: FeatureStore) -> jax.Array:
-        """The store's feature table, HBM-resident (replicated on a mesh)."""
-        if self._table_cache is None or self._table_cache[0] != id(store):
+        """The store's feature table, HBM-resident (replicated on a mesh).
+
+        Cached via a weak reference — keying by ``id(store)`` would both
+        pin a dead store's table in HBM and risk serving a stale table if
+        CPython recycles the address for a new store.
+        """
+        import weakref
+
+        cached = self._table_cache
+        if cached is None or cached[0]() is not store:
             table = jnp.asarray(store.table())
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 table = jax.device_put(
                     table, NamedSharding(self._mesh, P()))
-            self._table_cache = (id(store), table)
+            self._table_cache = (weakref.ref(store), table)
         return self._table_cache[1]
 
     def _multi_step_chunks(self, batches: Sequence[Batch],
