@@ -13,10 +13,11 @@ Here the whole search is one ``lax.scan`` compiled by XLA:
   ``decode_step`` — MXU-sized matmuls instead of batch-1);
 - scores accumulate in LOG space (monotonically identical ranking to the
   reference's linear-space product, without underflow);
-- candidate selection is one ``lax.top_k`` over the flattened (K·V)
-  candidates per image — equivalent to the reference's per-hypothesis
-  top-K followed by global top-K, since each hypothesis contributes at
-  most K survivors;
+- candidate selection is two ``lax.top_k`` stages (per-hypothesis over the
+  vocabulary, then over the K·K shortlist) — exactly the reference's
+  per-hypothesis top-K followed by global top-K, since each hypothesis
+  contributes at most K survivors; see the in-body comment for the tie
+  argument;
 - per-hypothesis LSTM states are reordered with a batched gather instead
   of host deep-copies.
 
@@ -197,11 +198,10 @@ def beam_search_scan(params: Params, feats: jax.Array, *,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_words", "compute_dtype",
-                                             "use_pallas"))
-def greedy_search(params: Params, feats: jax.Array, *, max_words: int = 30,
-                  compute_dtype=jnp.bfloat16, use_pallas: bool = False
-                  ) -> tuple[jax.Array, jax.Array]:
+def _greedy_search_impl(params: Params, feats: jax.Array, *,
+                        max_words: int = 30, compute_dtype=jnp.bfloat16,
+                        use_pallas: bool = False
+                        ) -> tuple[jax.Array, jax.Array]:
     """Batched greedy (argmax) decoding — beam search with K=1 semantics,
     implemented directly for speed (no beam axis, no top_k)."""
     b_dim = feats.shape[0]
@@ -242,3 +242,30 @@ def greedy_search(params: Params, feats: jax.Array, *, max_words: int = 30,
     (tokens, scores, _, _, _), _ = jax.lax.scan(
         body, carry0, None, length=max_words + 1)
     return tokens, scores
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "compute_dtype",
+                                             "use_pallas"))
+def greedy_search(params: Params, feats: jax.Array, *, max_words: int = 30,
+                  compute_dtype=jnp.bfloat16, use_pallas: bool = False
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Jitted batched greedy decoding (see ``_greedy_search_impl``)."""
+    return _greedy_search_impl(params, feats, max_words=max_words,
+                               compute_dtype=compute_dtype,
+                               use_pallas=use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "compute_dtype",
+                                             "use_pallas"))
+def greedy_search_scan(params: Params, feats: jax.Array, *,
+                       max_words: int = 30, compute_dtype=jnp.bfloat16,
+                       use_pallas: bool = False
+                       ) -> tuple[jax.Array, jax.Array]:
+    """(G, B, 4096) -> ((G, B, T+2), (G, B)): G greedy batches, ONE
+    dispatch (the greedy analogue of ``beam_search_scan``)."""
+    def body(_, f):
+        return None, _greedy_search_impl(params, f, max_words=max_words,
+                                         compute_dtype=compute_dtype,
+                                         use_pallas=use_pallas)
+    _, out = jax.lax.scan(body, None, feats)
+    return out

@@ -19,7 +19,7 @@ import numpy as np
 
 from lrcn_tpu.core.vocab import EOS_ID, Vocab
 from lrcn_tpu.data.feature_store import FeatureStore, l1_normalize
-from lrcn_tpu.decode.beam import beam_search_scan, greedy_search
+from lrcn_tpu.decode.beam import beam_search_scan, greedy_search_scan
 from lrcn_tpu.models.lrcn import Params
 
 
@@ -92,34 +92,29 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
             lines.extend(caption_to_line(tokens[gi, i], vocab)
                          for i in range(n_real))
 
-    if sample_n > 0 or beam_width == 1:
+    if sample_n > 0:
         for batch_ids in id_batches:
             feats, n_real = host_batch(batch_ids)
-            feats = jnp.asarray(feats)
-            if sample_n > 0:
-                from lrcn_tpu.decode.sample import best_of_n_search
-                rng, k = jax.random.split(rng)
-                tokens, _ = best_of_n_search(
-                    params, feats, k, n_samples=sample_n,
-                    temperature=temperature, max_words=max_words,
-                    compute_dtype=compute_dtype)
-            else:
-                tokens, _ = greedy_search(params, feats,
-                                          max_words=max_words,
-                                          compute_dtype=compute_dtype)
+            from lrcn_tpu.decode.sample import best_of_n_search
+            rng, k = jax.random.split(rng)
+            tokens, _ = best_of_n_search(
+                params, jnp.asarray(feats), k, n_samples=sample_n,
+                temperature=temperature, max_words=max_words,
+                compute_dtype=compute_dtype)
             pending.append((tokens[None], [n_real]))
             if len(pending) > max_inflight:
                 drain_one()
     else:
         scan_depth = 4
+        search = (greedy_search_scan if beam_width == 1 else
+                  lambda p, f, **kw: beam_search_scan(
+                      p, f, beam_width=beam_width, **kw))
         for g in range(0, len(id_batches), scan_depth):
             group = [host_batch(ids)
                      for ids in id_batches[g:g + scan_depth]]
             stacked = jnp.asarray(np.stack([f for f, _ in group]))
-            tokens, _ = beam_search_scan(params, stacked,
-                                         beam_width=beam_width,
-                                         max_words=max_words,
-                                         compute_dtype=compute_dtype)
+            tokens, _ = search(params, stacked, max_words=max_words,
+                               compute_dtype=compute_dtype)
             pending.append((tokens, [nr for _, nr in group]))
             if len(pending) > max_inflight:
                 drain_one()

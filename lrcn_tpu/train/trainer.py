@@ -72,15 +72,19 @@ class Trainer:
                                    else max(1, steps_per_dispatch))
         self._multi_step = None
         self._table_cache = None   # (weakref to store, device table)
+        self._multi_eval = None
         if self.steps_per_dispatch > 1:
             kwargs = {}
+            ev_kwargs = {}
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                kwargs["out_shardings"] = (None, None,
-                                           NamedSharding(mesh, P()))
+                rep = NamedSharding(mesh, P())
+                kwargs["out_shardings"] = (None, None, rep)
+                ev_kwargs["out_shardings"] = (rep, rep)
             self._multi_step = jax.jit(
                 functools.partial(self._multi_step_impl, pdrop=cfg.dropout),
                 donate_argnums=(0, 1), **kwargs)
+            self._multi_eval = jax.jit(self._multi_eval_impl, **ev_kwargs)
         if self._pipeline:
             # PP over the 2 LSTM layers + vocab TP on 'model', DP on 'data'
             # (parallel/pipeline.py); same host-facing step API.
@@ -143,6 +147,20 @@ class Trainer:
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), (tokens_k, lengths_k, rows_k, rngs_k))
         return params, opt_state, losses
+
+    def _multi_eval_impl(self, params, tokens_k, lengths_k, rows_k, table):
+        """Summed (total, count) over K stacked eval batches, one dispatch."""
+        def body(carry, xs):
+            total, count = carry
+            tokens, lengths, rows = xs
+            t, c = lrcn.loss_total_count(
+                params, tokens, lengths, table[rows], pdrop=0.0,
+                compute_dtype=self._compute_dtype)
+            return (total + t, count + c), None
+        (total, count), _ = jax.lax.scan(
+            body, (jnp.zeros(()), jnp.zeros(())),
+            (tokens_k, lengths_k, rows_k))
+        return total, count
 
     # --- host loop ---
 
@@ -274,10 +292,29 @@ class Trainer:
 
     def average_loss(self, params, batches: Sequence[Batch],
                      store: FeatureStore) -> float:
-        """Dataset-level mean NLL (reference: average_loss, lrcn.jl:407-486)."""
+        """Dataset-level mean NLL (reference: average_loss, lrcn.jl:407-486).
+
+        With ``steps_per_dispatch > 1``, same-shape batches evaluate in
+        scanned multi-batch dispatches (device-resident feature table);
+        per-shape remainders go through the single-batch path.
+        """
         total, count = 0.0, 0.0
+        single = batches
+        if self._multi_eval is not None:
+            chunks, single = self._multi_step_chunks(batches, None)
+            table = self._device_table(store)
+            partials = []
+            for chunk in chunks:
+                dev = self._put_batch_arrays(
+                    np.stack([b.tokens for b in chunk]),
+                    np.stack([b.lengths for b in chunk]),
+                    np.stack([store.rows(b.image_ids) for b in chunk]))
+                partials.append(self._multi_eval(params, *dev, table))
+            for t, c in partials:   # fetch after every dispatch is queued
+                total += float(t)
+                count += float(c)
         for tokens, lengths, feats in self._device_batches(
-                batches, store, None):
+                single, store, None):
             t, c = self._eval_step(params, tokens, lengths, feats)
             total += float(t)
             count += float(c)

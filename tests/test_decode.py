@@ -204,3 +204,38 @@ class TestSampling:
         # best-of-8 is better on average than a single draw (statistical:
         # the draws are independent streams, so compare means, not rows)
         assert np.mean(np.asarray(sb)) > np.mean(np.asarray(s1)) - 1e-5
+
+
+def test_generate_captions_scanned_paths_match_per_batch(setup):
+    """generate_captions' scanned group dispatch (beam and greedy) yields
+    the same captions as direct per-batch searches, across enough batches
+    to exercise the bounded in-flight drain."""
+    from lrcn_tpu.data.feature_store import FeatureStore
+    from lrcn_tpu.decode.writer import generate_captions
+
+    cfg, params, _ = setup
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    rng = np.random.default_rng(5)
+    n = 23   # batch_size=2 -> 12 batches -> 3 scan groups + drain churn
+    feats = {100 + i: rng.normal(size=cfg.cnn_feature_dim).astype(
+        np.float32) for i in range(n)}
+    store = FeatureStore.from_dict(feats, normalized=True)
+    ids = [100 + i for i in range(n)]
+
+    for bw, search in ((2, beam_search), (1, greedy_search)):
+        lines = generate_captions(
+            params, vocab, store, ids, beam_width=bw, max_words=8,
+            batch_size=2, compute_dtype=jnp.float32)
+        assert len(lines) == n
+        direct = []
+        for start in range(0, n, 2):
+            batch = ids[start:start + 2]
+            pad = batch + [batch[-1]] * (2 - len(batch))
+            f = jnp.asarray(np.stack([feats[i] for i in pad]))
+            tokens, _ = search(params, f, max_words=8,
+                               compute_dtype=jnp.float32) if bw == 1 else \
+                beam_search(params, f, beam_width=bw, max_words=8,
+                            compute_dtype=jnp.float32)
+            direct.extend(caption_to_line(np.asarray(tokens)[i], vocab)
+                          for i in range(len(batch)))
+        assert lines == direct, (bw, lines[:3], direct[:3])

@@ -229,3 +229,15 @@ def test_bestfile_tracks_best_val_loss(tmp_path, tiny_setup):
     for a, b in zip(jax.tree.leaves(best["params"]),
                     jax.tree.leaves(last["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_eval_matches_single_eval(tiny_setup):
+    """average_loss via scanned multi-batch eval == single-batch eval."""
+    cfg, vocab, caps, store, batches = tiny_setup
+    t1 = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False))
+    tk = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False),
+                 steps_per_dispatch=2)
+    params, _ = t1.init(jax.random.PRNGKey(0))
+    a = t1.average_loss(params, batches, store)
+    b = tk.average_loss(params, batches, store)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
