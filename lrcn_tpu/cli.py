@@ -151,6 +151,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of images; ids parsed from filenames")
     p.add_argument("--out", required=True, help="FeatureStore dir")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--scan-depth", type=int, default=8,
+                   help="batches per scanned device dispatch (amortizes "
+                        "per-dispatch host overhead)")
     p.add_argument("--no-normalize", action="store_true",
                    help="skip L1 normalization (reference stores "
                         "pre-normalized featsn files)")
@@ -555,7 +558,8 @@ def cmd_extract_features(args) -> int:
     store = extract_features(
         paths, vgg_params, avg, store=store, batch_size=args.batch_size,
         normalize=not args.no_normalize,
-        compute_dtype=jnp.dtype(args.compute_dtype))
+        compute_dtype=jnp.dtype(args.compute_dtype),
+        scan_depth=args.scan_depth)
     store.save(args.out)
     print(f"saved {len(store)} features to {args.out}")
     return 0

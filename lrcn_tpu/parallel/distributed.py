@@ -22,21 +22,36 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# Environment variables whose presence marks a multi-process cluster that
-# jax.distributed.initialize() can auto-configure from.  The single-process
-# decision must NOT touch backend-initializing APIs (jax.process_count()
-# initializes XLA, after which jax.distributed.initialize() always raises
-# "must be called before any JAX computations").
-_CLUSTER_ENV_VARS = (
-    "JAX_COORDINATOR_ADDRESS",       # jax-native
+# The single-process decision must NOT touch backend-initializing APIs
+# (jax.process_count() initializes XLA, after which
+# jax.distributed.initialize() always raises "must be called before any
+# JAX computations") — so it is made from the environment alone.
+_COORDINATOR_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",        # jax-native
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU
-    "TPU_WORKER_HOSTNAMES",           # Cloud TPU pod workers
-    "TPU_WORKER_ID",
-    "CLOUD_TPU_TASK_ID",              # GKE TPU
-    "SLURM_JOB_NUM_NODES",            # cluster schedulers jax can parse
-    "OMPI_COMM_WORLD_SIZE",
 )
+
+
+def _cluster_environment() -> bool:
+    """True when env vars describe a MULTI-process cluster.
+
+    Presence alone is not enough: single-worker setups legitimately set
+    e.g. ``TPU_WORKER_HOSTNAMES=localhost`` (one host) or
+    ``SLURM_JOB_NUM_NODES=1``, and must stay single-process.
+    """
+    if any(v in os.environ for v in _COORDINATOR_ENV_VARS):
+        return True
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True   # Cloud TPU pod with multiple workers
+    for count_var in ("SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(os.environ.get(count_var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def initialize(coordinator_address: str | None = None,
@@ -58,7 +73,7 @@ def initialize(coordinator_address: str | None = None,
     """
     if (coordinator_address is None and num_processes is None
             and process_id is None):
-        if not any(v in os.environ for v in _CLUSTER_ENV_VARS):
+        if not _cluster_environment():
             return  # no cluster environment: stay single-process
         jax.distributed.initialize()
         return

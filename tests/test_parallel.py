@@ -229,3 +229,22 @@ def test_host_local_batch_two_processes(tmp_path):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, (out, err)
         assert "TOTAL 36.0" in out, (out, err)
+
+
+def test_initialize_single_worker_markers_stay_single_process(monkeypatch):
+    """Single-worker env markers (TPU_WORKER_HOSTNAMES=localhost,
+    SLURM_JOB_NUM_NODES=1) must NOT trigger cluster initialization — the
+    CI image's sitecustomize sets exactly that hostname marker."""
+    from lrcn_tpu.parallel.distributed import _cluster_environment
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(var, raising=False)
+    assert not _cluster_environment()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert _cluster_environment()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+    assert _cluster_environment()

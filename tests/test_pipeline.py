@@ -202,3 +202,19 @@ def test_pipeline_trainer_fit_and_checkpoint(tmp_path):
     tokens, scores = beam_search(dev_params, feats, beam_width=2,
                                  max_words=5, compute_dtype=jnp.float32)
     assert tokens.shape[0] == 4
+
+
+def test_pipeline_ignores_steps_per_dispatch():
+    """The pipelined step is its own shard_map program; steps_per_dispatch
+    silently degrades to 1 rather than composing incorrectly."""
+    from lrcn_tpu.core.vocab import Vocab
+    from lrcn_tpu.train import Trainer
+    from lrcn_tpu.train.metrics import MetricsLogger
+
+    cfg = small_cfg()
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    trainer = Trainer(cfg, vocab, MetricsLogger(echo=False),
+                      mesh=make_mesh((4, 2)), pipeline=True,
+                      steps_per_dispatch=8)
+    assert trainer.steps_per_dispatch == 1
+    assert trainer._multi_step is None
