@@ -57,10 +57,9 @@ NEG_INF = -1e30
 
 
 class _BeamCarry(NamedTuple):
-    tokens: jax.Array    # (B, K, T+1) int32; column 0 is BOS
+    last: jax.Array      # (B, K) int32: each hypothesis's latest token
     scores: jax.Array    # (B, K) float32, cumulative log-prob
     state: LSTMState     # each (B, K, H)
-    step: jax.Array      # scalar int32: tokens generated so far
     done: jax.Array      # (B,) bool: best hypothesis ended with EOS
 
 
@@ -100,26 +99,20 @@ def _beam_search_impl(params: Params, feats: jax.Array, *,
         cnn_proj[:, None, :], (b_dim, k, cnn_proj.shape[-1])
     ).reshape(b_dim * k, -1)
 
-    # the reference's cap check runs AFTER appending (current>nword,
-    # lrcn.jl:670), so up to max_words+1 tokens are generated
-    tokens0 = jnp.zeros((b_dim, k, max_words + 2), jnp.int32)
-    tokens0 = tokens0.at[:, :, 0].set(BOS_ID)
     # all hypotheses are identical at step 0: only beam 0 may expand
     scores0 = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, NEG_INF)
     scores0 = jnp.broadcast_to(scores0, (b_dim, k)).astype(jnp.float32)
     zeros = lambda h: jnp.zeros((b_dim, k, h), jnp.float32)
-    carry0 = _BeamCarry(tokens0, scores0,
+    carry0 = _BeamCarry(jnp.full((b_dim, k), BOS_ID, jnp.int32), scores0,
                         LSTMState(zeros(h1_dim), zeros(h1_dim),
                                   zeros(h2_dim), zeros(h2_dim)),
-                        jnp.zeros((), jnp.int32),
                         jnp.zeros((b_dim,), bool))
+    identity = jnp.broadcast_to(jnp.arange(k)[None, :], (b_dim, k))
 
-    def body(c: _BeamCarry, _) -> tuple[_BeamCarry, None]:
-        last = jax.lax.dynamic_index_in_dim(
-            c.tokens, c.step, axis=2, keepdims=False)          # (B, K)
+    def body(c: _BeamCarry, _) -> tuple[_BeamCarry, tuple]:
         flat_state = LSTMState(*(s.reshape(b_dim * k, -1) for s in c.state))
         new_flat, logits = lrcn.decode_step(
-            params, flat_state, last.reshape(b_dim * k), cnn_flat,
+            params, flat_state, c.last.reshape(b_dim * k), cnn_flat,
             compute_dtype, use_pallas=use_pallas)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -141,23 +134,47 @@ def _beam_search_impl(params: Params, feats: jax.Array, *,
 
         new_state = LSTMState(*(
             _gather_beams(s.reshape(b_dim, k, -1), parent) for s in new_flat))
-        new_tokens = _gather_beams(c.tokens, parent)
-        new_tokens = jax.lax.dynamic_update_index_in_dim(
-            new_tokens, word, c.step + 1, axis=2)
 
-        # freeze finished batch rows (their search already returned)
+        # freeze finished batch rows (their search already returned):
+        # identity parent + EOS filler reproduce the old token-buffer
+        # semantics exactly (unwritten buffer positions were 0 == EOS_ID)
         keep = c.done
-        tokens = jnp.where(keep[:, None, None], c.tokens, new_tokens)
+        parent_rec = jnp.where(keep[:, None], identity, parent)
+        word_rec = jnp.where(keep[:, None],
+                             jnp.asarray(EOS_ID, jnp.int32), word)
+        last = jnp.where(keep[:, None], c.last, word)
         scores = jnp.where(keep[:, None], c.scores, top_scores)
         state = LSTMState(*(
             jnp.where(keep[:, None, None], old, new)
             for old, new in zip(c.state, new_state)))
         # stop rule: the CURRENT BEST hypothesis ends with EOS (lrcn.jl:670)
         done = jnp.logical_or(keep, word[:, 0] == EOS_ID)
-        return _BeamCarry(tokens, scores, state, c.step + 1, done), None
+        return (_BeamCarry(last, scores, state, done),
+                (parent_rec, word_rec))
 
-    final, _ = jax.lax.scan(body, carry0, None, length=max_words + 1)
-    return final.tokens[:, 0, :], final.scores[:, 0]
+    # The token history is NOT carried through the scan (per-step gather +
+    # dynamic-update of a (B, K, T) buffer cost ~10% of the search);
+    # instead each step records (parent, word) and the winning path is
+    # reconstructed by a backward scan over the tiny (B, K) records.
+    final, (parents, words) = jax.lax.scan(
+        body, carry0, None, length=max_words + 1)
+
+    batch_idx = jnp.arange(b_dim)
+
+    def backtrace(beam, rec):
+        parent_t, word_t = rec
+        token = word_t[batch_idx, beam]
+        return parent_t[batch_idx, beam], token
+
+    beam0 = jnp.zeros((b_dim,), jnp.int32)   # best hypothesis at the end
+    # reverse scan emits outputs at their original step positions, so
+    # path_tokens is already in forward order
+    _, path_tokens = jax.lax.scan(backtrace, beam0, (parents, words),
+                                  reverse=True)
+    tokens = jnp.concatenate(
+        [jnp.full((b_dim, 1), BOS_ID, jnp.int32),
+         jnp.transpose(path_tokens)], axis=1)         # (B, max_words + 2)
+    return tokens, final.scores[:, 0]
 
 
 @functools.partial(jax.jit,
