@@ -46,6 +46,71 @@ def sync(tree) -> None:
             np.asarray(leaf).ravel()[:1]
 
 
+def device_time_ms(trace_dir: str) -> float:
+    """Total device-busy milliseconds recorded in a profiler trace.
+
+    Parses the trace's ``XLA Modules`` track — the sum of executed XLA
+    program durations on the device timeline.  This is THE reliable
+    device-time measurement on runtimes where per-dispatch host overhead
+    dwarfs kernels (wall clock) and where other tracks double-count or
+    span idle gaps (summing every device event overstates; the 'Steps'
+    track spans idle time).  Returns 0.0 when no trace file is found.
+
+    Usage::
+
+        with trace("/tmp/t"):
+            run(); sync(out)
+        ms = device_time_ms("/tmp/t")
+    """
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
+                             recursive=True))
+    if not files:
+        return 0.0
+    with gzip.open(files[-1]) as f:
+        events = json.load(f).get("traceEvents", [])
+    thread_names = {}
+    for e in events:
+        if (e.get("ph") == "M" and "pid" in e
+                and e.get("name") == "thread_name"):
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name")
+    def track_total(pred) -> float:
+        return sum(
+            e.get("dur", 0) for e in events
+            if e.get("ph") == "X" and "pid" in e
+            and pred(thread_names.get((e["pid"], e.get("tid")))))
+
+    total_us = track_total(lambda n: n == "XLA Modules")
+    if total_us == 0.0:
+        # CPU traces have no 'XLA Modules' track; approximate with the
+        # XLA client execution threads (tests run on the CPU backend)
+        total_us = track_total(
+            lambda n: bool(n) and n.startswith("tf_XLA"))
+    return total_us / 1e3
+
+
+def measure_device_time_ms(fn, *args, iters: int = 3,
+                           trace_dir: str | None = None) -> float:
+    """Device-time per call of an already-compiled jitted ``fn`` in ms.
+
+    Warm up (and compile) first; this traces ``iters`` back-to-back calls
+    and divides the device-busy total.
+    """
+    import tempfile
+
+    logdir = trace_dir or tempfile.mkdtemp(prefix="lrcn_trace_")
+    sync(fn(*args))   # compile + warm up outside the trace
+    with trace(logdir):
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+    return device_time_ms(logdir) / iters
+
+
 @dataclass
 class StepTimer:
     """Accumulates per-step wall times; sync only at measurement edges."""
