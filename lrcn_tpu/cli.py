@@ -206,6 +206,16 @@ def image_id_from_filename(name: str) -> int:
     return int(digits)
 
 
+def _image_paths_from_dir(directory: str) -> dict[int, str]:
+    """id -> path for every image file in ``directory``."""
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    return {
+        image_id_from_filename(f): os.path.join(directory, f)
+        for f in sorted(os.listdir(directory))
+        if f.lower().endswith(exts)
+    }
+
+
 def _load_model(loadfile: str):
     """Load a checkpoint -> (decoder_params, vocab, cfg).
 
@@ -391,12 +401,7 @@ def _train_joint(args) -> int:
                 "training decodes images per batch; features come from "
                 "the live encoder)")
 
-    exts = (".jpg", ".jpeg", ".png", ".bmp")
-    image_paths = {
-        image_id_from_filename(f): os.path.join(args.images, f)
-        for f in sorted(os.listdir(args.images))
-        if f.lower().endswith(exts)
-    }
+    image_paths = _image_paths_from_dir(args.images)
     if not image_paths:
         raise SystemExit(f"no images found in {args.images}")
 
@@ -545,12 +550,7 @@ def cmd_extract_features(args) -> int:
 
     vgg_params, avg = load_matconvnet(args.vgg_model)
     vgg_params = jax.device_put(vgg_params)
-    exts = (".jpg", ".jpeg", ".png", ".bmp")
-    paths = {
-        image_id_from_filename(f): os.path.join(args.images, f)
-        for f in sorted(os.listdir(args.images))
-        if f.lower().endswith(exts)
-    }
+    paths = _image_paths_from_dir(args.images)
     store = None
     if os.path.exists(os.path.join(args.out, "meta.json")):
         store = FeatureStore.load(args.out, mmap=False)  # resume, lrcn.jl:203

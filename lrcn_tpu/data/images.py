@@ -112,6 +112,22 @@ def load_preprocessed(path: str) -> np.ndarray:
     return resize_crop(decode_image(path))
 
 
+def load_images(paths: Sequence[str]) -> np.ndarray:
+    """Decode+resize+crop a batch -> (N, 224, 224, 3) uint8.
+
+    Native threaded JPEG loader when every path is a JPEG, with PIL
+    rescue for rows whose native decode fails; plain PIL otherwise.
+    """
+    if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        native = load_batch_native(paths)
+        if native is not None:
+            imgs, ok = native
+            for idx in np.flatnonzero(~ok):   # PIL rescue per failure
+                imgs[idx] = resize_crop(decode_image(paths[idx]))
+            return imgs
+    return np.stack([resize_crop(decode_image(p)) for p in paths])
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def normalize_batch(images_u8: jax.Array, average_image: jax.Array
                     ) -> jax.Array:
@@ -178,16 +194,7 @@ def extract_features(
     avg = jnp.asarray(average_image, jnp.float32)
 
     def load_host_batch(ids: list) -> np.ndarray:
-        paths = [image_paths[i] for i in ids]
-        imgs = None
-        if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
-            native = load_batch_native(paths)
-            if native is not None:
-                imgs, ok = native
-                for idx in np.flatnonzero(~ok):   # PIL rescue per failure
-                    imgs[idx] = resize_crop(decode_image(paths[idx]))
-        if imgs is None:
-            imgs = np.stack([resize_crop(decode_image(p)) for p in paths])
+        imgs = load_images([image_paths[i] for i in ids])
         pad = batch_size - len(ids)
         if pad:
             imgs = np.concatenate(

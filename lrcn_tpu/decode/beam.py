@@ -92,7 +92,6 @@ def _beam_search_impl(params: Params, feats: jax.Array, *,
     k = beam_width
     h1_dim = params["lstm1"]["b"].shape[-1] // 4
     h2_dim = params["lstm2"]["b"].shape[-1] // 4
-    vocab_size = params["b_out"].shape[-1]
 
     cnn_proj = lrcn.cnn_projection(params, feats, compute_dtype)   # (B, F)
     cnn_flat = jnp.broadcast_to(

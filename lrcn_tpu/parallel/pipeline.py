@@ -37,7 +37,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -80,12 +79,11 @@ def to_pipeline_params(params: lrcn.Params) -> dict[str, Any]:
 
 def from_pipeline_params(pp_params: dict[str, Any]) -> lrcn.Params:
     """Pipeline layout -> standard decoder pytree (for checkpoints/decode)."""
-    out = {k: np.asarray(v) if not isinstance(v, dict) else v
-           for k, v in pp_params.items() if k != "lstm_pp"}
-    w = pp_params["lstm_pp"]["w"]
-    b = pp_params["lstm_pp"]["b"]
-    out["lstm1"] = {"w": jnp.asarray(w[0]), "b": jnp.asarray(b[0])}
-    out["lstm2"] = {"w": jnp.asarray(w[1]), "b": jnp.asarray(b[1])}
+    out = {k: v for k, v in pp_params.items() if k != "lstm_pp"}
+    w = jnp.asarray(pp_params["lstm_pp"]["w"])
+    b = jnp.asarray(pp_params["lstm_pp"]["b"])
+    out["lstm1"] = {"w": w[0], "b": b[0]}
+    out["lstm2"] = {"w": w[1], "b": b[1]}
     return out
 
 
@@ -293,30 +291,14 @@ class PipelinedTrainStep:
         return from_pipeline_params(jax.device_get(pp_params))
 
     def init_opt(self, pp_params):
-        state = self.opt.init(pp_params)
-        p_sh = pipeline_param_sharding(self.mesh)
-        flat_p = {
-            tuple(k.key for k in path): sh
-            for path, sh in jax.tree_util.tree_flatten_with_path(p_sh)[0]
-        }
-        rep = NamedSharding(self.mesh, P())
-
-        def place(path, leaf):
-            keys = [k.key for k in path
-                    if isinstance(k, jax.tree_util.DictKey)]
-            for start in range(len(keys)):
-                sh = flat_p.get(tuple(keys[start:]))
-                if sh is not None:
-                    return jax.device_put(leaf, sh)
-            return jax.device_put(leaf, rep)
-
-        return jax.tree_util.tree_map_with_path(place, state)
+        from lrcn_tpu.parallel.train import place_opt_state
+        return place_opt_state(self.opt.init(pp_params),
+                               pipeline_param_sharding(self.mesh),
+                               self.mesh)
 
     def shard_batch(self, tokens, lengths, feats):
-        b_sh = NamedSharding(self.mesh, P("data"))
-        return (jax.device_put(jnp.asarray(tokens), b_sh),
-                jax.device_put(jnp.asarray(lengths), b_sh),
-                jax.device_put(jnp.asarray(feats, jnp.float32), b_sh))
+        from lrcn_tpu.parallel.train import put_batch
+        return put_batch(self.mesh, tokens, lengths, feats)
 
     def __call__(self, pp_params, opt_state, tokens, lengths, feats, rng):
         return self._step(pp_params, opt_state, tokens, lengths, feats, rng)

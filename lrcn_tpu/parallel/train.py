@@ -62,6 +62,43 @@ def shard_params(params: lrcn.Params, mesh: Mesh) -> lrcn.Params:
     return jax.device_put(params, param_sharding(mesh))
 
 
+def place_opt_state(opt_state: Any, param_sharding_tree: Any,
+                    mesh: Mesh) -> Any:
+    """Place a freshly-initialized optimizer state onto the mesh.
+
+    XLA does not propagate sharding through ``opt.init``'s zeros_like
+    (fresh constants carry no operand sharding), so place the state
+    explicitly: any leaf whose dict-path suffix names a parameter (e.g.
+    Adam mu/nu live at ``...mu['lstm1']['w']``) gets that parameter's
+    sharding; scalars and the rest replicate.
+    """
+    flat_p = {
+        tuple(k.key for k in path): sh
+        for path, sh
+        in jax.tree_util.tree_flatten_with_path(param_sharding_tree)[0]
+    }
+    rep = NamedSharding(mesh, P())
+
+    def place(path, leaf):
+        keys = [k.key for k in path
+                if isinstance(k, jax.tree_util.DictKey)]
+        for start in range(len(keys)):
+            sh = flat_p.get(tuple(keys[start:]))
+            if sh is not None:
+                return jax.device_put(leaf, sh)
+        return jax.device_put(leaf, rep)
+
+    return jax.tree_util.tree_map_with_path(place, opt_state)
+
+
+def put_batch(mesh: Mesh, tokens, lengths, feats) -> tuple:
+    """Device-put one (tokens, lengths, feats) batch sharded over 'data'."""
+    b_sh = batch_sharding(mesh)
+    return (jax.device_put(jnp.asarray(tokens), b_sh),
+            jax.device_put(jnp.asarray(lengths), b_sh),
+            jax.device_put(jnp.asarray(feats, jnp.float32), b_sh))
+
+
 class ShardedTrainStep:
     """A jitted multi-chip train step + eval step for the LRCN decoder.
 
@@ -123,35 +160,11 @@ class ShardedTrainStep:
         return shard_params(params, self.mesh)
 
     def init_opt(self, params: lrcn.Params):
-        # XLA does not propagate sharding through opt.init's zeros_like
-        # (fresh constants carry no operand sharding), so place the state
-        # explicitly: any leaf whose dict-path suffix names a parameter
-        # (e.g. Adam mu/nu live at ...mu['lstm1']['w']) gets that
-        # parameter's sharding; scalars and the rest replicate.
-        state = self.opt.init(params)
-        p_sh = param_sharding(self.mesh)
-        flat_p = {
-            tuple(k.key for k in path): sh
-            for path, sh in jax.tree_util.tree_flatten_with_path(p_sh)[0]
-        }
-        rep = NamedSharding(self.mesh, P())
-
-        def place(path, leaf):
-            keys = [k.key for k in path
-                    if isinstance(k, jax.tree_util.DictKey)]
-            for start in range(len(keys)):
-                sh = flat_p.get(tuple(keys[start:]))
-                if sh is not None:
-                    return jax.device_put(leaf, sh)
-            return jax.device_put(leaf, rep)
-
-        return jax.tree_util.tree_map_with_path(place, state)
+        return place_opt_state(self.opt.init(params),
+                               param_sharding(self.mesh), self.mesh)
 
     def shard_batch(self, tokens, lengths, feats):
-        b_sh = batch_sharding(self.mesh)
-        return (jax.device_put(jnp.asarray(tokens), b_sh),
-                jax.device_put(jnp.asarray(lengths), b_sh),
-                jax.device_put(jnp.asarray(feats, jnp.float32), b_sh))
+        return put_batch(self.mesh, tokens, lengths, feats)
 
     def __call__(self, params, opt_state, tokens, lengths, feats, rng):
         return self._step(params, opt_state, tokens, lengths, feats, rng)

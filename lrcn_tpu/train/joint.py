@@ -74,22 +74,10 @@ class JointTrainer:
         Padded rows (length == -1, data/batcher.py) repeat the last real
         image id, so every id in ``batch.image_ids`` resolves.
         """
-        from lrcn_tpu.data.images import (
-            decode_image,
-            load_batch_native,
-            resize_crop,
-        )
+        from lrcn_tpu.data.images import load_images
 
-        paths = [self.image_paths[int(i)] for i in batch.image_ids]
-        imgs = None
-        if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
-            native = load_batch_native(paths)
-            if native is not None:
-                imgs, ok = native
-                for idx in np.flatnonzero(~ok):
-                    imgs[idx] = resize_crop(decode_image(paths[idx]))
-        if imgs is None:
-            imgs = np.stack([resize_crop(decode_image(p)) for p in paths])
+        imgs = load_images(
+            [self.image_paths[int(i)] for i in batch.image_ids])
         return imgs.astype(np.float32) - self.average_image
 
     def _device_batches(self, batches: Sequence[Batch],
