@@ -225,8 +225,6 @@ def _greedy_search_impl(params: Params, feats: jax.Array, *,
     h2_dim = params["lstm2"]["b"].shape[-1] // 4
 
     cnn_proj = lrcn.cnn_projection(params, feats, compute_dtype)
-    tokens0 = jnp.zeros((b_dim, max_words + 2), jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(BOS_ID)
     state0 = LSTMState(
         jnp.zeros((b_dim, h1_dim), jnp.float32),
         jnp.zeros((b_dim, h1_dim), jnp.float32),
@@ -234,9 +232,7 @@ def _greedy_search_impl(params: Params, feats: jax.Array, *,
         jnp.zeros((b_dim, h2_dim), jnp.float32))
 
     def body(c, _):
-        tokens, scores, state, step, done = c
-        last = jax.lax.dynamic_index_in_dim(tokens, step, axis=1,
-                                            keepdims=False)
+        last, scores, state, done = c
         new_state, logits = lrcn.decode_step(params, state, last, cnn_proj,
                                              compute_dtype,
                                              use_pallas=use_pallas)
@@ -244,19 +240,24 @@ def _greedy_search_impl(params: Params, feats: jax.Array, *,
         word = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         step_score = jnp.take_along_axis(logp, word[:, None], axis=1)[:, 0]
 
-        new_tokens = jax.lax.dynamic_update_index_in_dim(
-            tokens, word, step + 1, axis=1)
-        tokens = jnp.where(done[:, None], tokens, new_tokens)
+        # finished rows emit EOS filler (== the old zero-initialized
+        # token buffer) and stop advancing
+        word_rec = jnp.where(done, jnp.asarray(EOS_ID, jnp.int32), word)
+        last = jnp.where(done, last, word)
         scores = jnp.where(done, scores, scores + step_score)
         state = LSTMState(*(jnp.where(done[:, None], old, new)
                             for old, new in zip(state, new_state)))
         done = jnp.logical_or(done, word == EOS_ID)
-        return (tokens, scores, state, step + 1, done), None
+        return (last, scores, state, done), word_rec
 
-    carry0 = (tokens0, jnp.zeros((b_dim,), jnp.float32), state0,
-              jnp.zeros((), jnp.int32), jnp.zeros((b_dim,), bool))
-    (tokens, scores, _, _, _), _ = jax.lax.scan(
+    carry0 = (jnp.full((b_dim,), BOS_ID, jnp.int32),
+              jnp.zeros((b_dim,), jnp.float32), state0,
+              jnp.zeros((b_dim,), bool))
+    (_, scores, _, _), words = jax.lax.scan(
         body, carry0, None, length=max_words + 1)
+    tokens = jnp.concatenate(
+        [jnp.full((b_dim, 1), BOS_ID, jnp.int32), jnp.transpose(words)],
+        axis=1)                                        # (B, max_words + 2)
     return tokens, scores
 
 
