@@ -131,3 +131,25 @@ class TestFusedConv:
             fused_conv3x3_relu(jnp.zeros((1, 8, 8, 4)),
                                jnp.zeros((3, 3, 8, 8)), jnp.zeros((8,)),
                                interpret=True)
+
+
+def test_topk_logsumexp_matches_lax():
+    """Fused top-K+logsumexp kernel (interpret mode): exact value/index/tie
+    parity with lax.top_k plus logsumexp."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lrcn_tpu.ops.pallas.topk_lse import topk_logsumexp
+
+    rng = np.random.default_rng(0)
+    for r, v in [(16, 500), (24, 8800)]:
+        x = jnp.asarray(rng.standard_normal((r, v)), jnp.float32)
+        x = x.at[:, 7].set(x[:, 3])   # exact duplicates: tie handling
+        vals, idx, lse = topk_logsumexp(x, 3, interpret=True)
+        ref_v, ref_i = jax.lax.top_k(x, 3)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(jax.nn.logsumexp(x, axis=-1)),
+            rtol=1e-6, atol=1e-5)
