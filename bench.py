@@ -183,7 +183,17 @@ def main(argv=None):
     else:
         names = ["decode"]  # driver contract: ONE JSON line
     for name in names:
-        print(json.dumps(BENCHES[name]()), flush=True)
+        # the experimental TPU runtime occasionally drops a dispatch with
+        # a transient INTERNAL error; retry before giving up
+        for attempt in range(3):
+            try:
+                result = BENCHES[name]()
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(10)
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
