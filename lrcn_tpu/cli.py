@@ -34,6 +34,58 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="word embedding size (reference --embed)")
 
 
+def _add_dataset_flags(p: argparse.ArgumentParser) -> None:
+    """--flickr/--coco dataset selectors (lrcn.jl:51-52,68-69)."""
+    p.add_argument("--flickr", action="store_true",
+                   help="work on Flickr30k; fills --datafiles with the "
+                        "reference's default .token path when omitted")
+    p.add_argument("--coco", action="store_true",
+                   help="work on MS-COCO 2014; fills --datafiles with the "
+                        "train+val captions json paths when omitted")
+    p.add_argument("--data-root", default="data",
+                   help="dataset root for the --flickr/--coco defaults "
+                        "(layout as written by `lrcn download`)")
+
+
+# the reference's default caption-file locations (lrcn.jl:24-26), relative
+# to --data-root; COCO annotations may sit under annotations/ (the layout
+# the current cocodataset.org zip extracts to).
+_FLICKR_TOKEN = os.path.join("Flickr30k", "results_20130124.token")
+_COCO_JSONS = ("captions_train2014.json", "captions_val2014.json")
+
+
+def _autofill_datafiles(args) -> None:
+    """Fill an empty --datafiles from --flickr/--coco (lrcn.jl:68-69)."""
+    if args.flickr and args.coco:
+        raise SystemExit("pass only one of --flickr/--coco")
+    if args.datafiles:
+        return
+    if args.flickr:
+        args.datafiles = [os.path.join(args.data_root, _FLICKR_TOKEN)]
+    elif args.coco:
+        files = []
+        for name in _COCO_JSONS:
+            direct = os.path.join(args.data_root, "MsCoCo", name)
+            nested = os.path.join(args.data_root, "MsCoCo", "annotations",
+                                  name)
+            files.append(nested if not os.path.exists(direct)
+                         and os.path.exists(nested) else direct)
+        args.datafiles = files
+
+
+def _dataset_kind(args) -> str:
+    """'flickr' | 'coco' | '' from the flags or the datafile extensions."""
+    if args.flickr:
+        return "flickr"
+    if args.coco:
+        return "coco"
+    if any(f.endswith(".token") for f in args.datafiles):
+        return "flickr"
+    if any(f.endswith(".json") for f in args.datafiles):
+        return "coco"
+    return ""
+
+
 def _add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--loadfile", help="checkpoint directory to load")
     p.add_argument("--seed", type=int, default=-1,
@@ -50,9 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("train", help="train the caption decoder")
-    p.add_argument("--datafiles", nargs="+", required=True,
+    p.add_argument("--datafiles", nargs="+", default=[],
                    help="Flickr .token file or COCO captions .json files "
-                        "(reference --datafiles)")
+                        "(reference --datafiles); --flickr/--coco fill "
+                        "the reference's default paths when omitted")
+    _add_dataset_flags(p)
     p.add_argument("--features",
                    help="FeatureStore dir with training fc7 features "
                         "(required unless --joint)")
@@ -111,7 +165,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="generate a caption set for evaluation")
     p.add_argument("--loadfile", required=True)
     p.add_argument("--features", required=True,
-                   help="FeatureStore dir for the eval split")
+                   help="FeatureStore dir covering the eval split")
+    p.add_argument("--datafiles", nargs="+", default=[],
+                   help="caption files; eval ids are sampled from the "
+                        "HELD-OUT split they define (Flickr test / COCO "
+                        "val, lrcn.jl:132-150). Omitting this falls back "
+                        "to sampling the feature store, which is only "
+                        "valid when the store holds exactly the eval "
+                        "split")
+    _add_dataset_flags(p)
     p.add_argument("--capnumber", type=int, default=1000,
                    help="number of images to caption (reference default)")
     p.add_argument("--generate", type=int, default=30, dest="max_words",
@@ -125,8 +187,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=2.0,
                    help="softmax temperature for --sample")
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--out", default="candidates.txt")
-    p.add_argument("--ids-out", default="candidate_ids.txt")
+    p.add_argument("--out", default=None,
+                   help="candidates file (default: candidates.txt, or "
+                        "candidates_flickr for the Flickr split — "
+                        "lrcn.jl:133-139)")
+    p.add_argument("--ids-out", default=None,
+                   help="candidate-ids file (default: candidate_ids.txt "
+                        "or candidate_ids_flickr)")
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -279,6 +346,10 @@ def cmd_train(args) -> int:
     from lrcn_tpu.train.metrics import MetricsLogger
     from lrcn_tpu.train.trainer import Trainer
 
+    _autofill_datafiles(args)
+    if not args.datafiles:
+        raise SystemExit("lrcn train: pass --datafiles (or --flickr/--coco "
+                         "to use the reference's default paths)")
     if args.joint:
         return _train_joint(args)
     if not args.features:
@@ -483,13 +554,49 @@ def cmd_generate(args) -> int:
     from lrcn_tpu.decode.writer import (
         generate_captions,
         pick_eval_ids,
+        pick_eval_ids_from_captions,
         write_candidate_files,
     )
+
+    _autofill_datafiles(args)
+    kind = _dataset_kind(args)
+    # default output names follow the reference: candidates.txt /
+    # candidate_ids.txt for COCO, candidates_flickr / candidate_ids_flickr
+    # for the Flickr split (lrcn.jl:133-141)
+    if args.out is None:
+        args.out = ("candidates_flickr" if kind == "flickr"
+                    else "candidates.txt")
+    if args.ids_out is None:
+        args.ids_out = ("candidate_ids_flickr" if kind == "flickr"
+                        else "candidate_ids.txt")
 
     params, vocab, _cfg = _load_model(args.loadfile)
     store = FeatureStore.load(args.features)
     rng = np.random.default_rng(args.seed if args.seed > 0 else None)
-    ids = pick_eval_ids(store.ids(), args.capnumber, rng)
+    if args.datafiles:
+        # the reference protocol: sample eval ids from the HELD-OUT
+        # caption split — caption_dicts[3] (Flickr test) / caption_dicts[2]
+        # (COCO val), lrcn.jl:132-150 — never from the feature store
+        from lrcn_tpu.core.tokenizer import tokenize
+        _, caption_lists = tokenize(args.datafiles)
+        if kind == "flickr":
+            held_out = caption_lists[2]
+        elif len(caption_lists) > 1:
+            held_out = caption_lists[1]
+        else:
+            raise SystemExit(
+                "lrcn generate: COCO needs train+val caption jsons so the "
+                "held-out val split can be sampled (lrcn.jl:140-142)")
+        ids = pick_eval_ids_from_captions(held_out, args.capnumber, rng,
+                                          store)
+        if not ids:
+            raise SystemExit("lrcn generate: no held-out image has "
+                             "features in the store")
+    else:
+        print("generate: no --datafiles given — sampling ids from the "
+              "feature store; this matches the reference protocol ONLY if "
+              "the store holds exactly the held-out split")
+        ids = pick_eval_ids(store.ids(), args.capnumber, rng)
     import jax
     import jax.numpy as jnp
     lines = generate_captions(

@@ -142,3 +142,43 @@ def pick_eval_ids(image_ids: Sequence[int], capnumber: int,
     unique = list(dict.fromkeys(int(i) for i in image_ids))
     rng.shuffle(unique)
     return unique[:capnumber]
+
+
+def pick_eval_ids_from_captions(captions: Sequence, capnumber: int,
+                                rng: np.random.Generator,
+                                store: FeatureStore | None = None
+                                ) -> list[int]:
+    """The reference's eval-id sampling protocol (lrcn.jl:142-150).
+
+    Shuffle the *held-out caption split* (``caption_dicts[2]`` for COCO val,
+    ``caption_dicts[3]`` for the Flickr test split, lrcn.jl:132-150) and
+    collect unique image ids until ``capnumber`` are chosen.  Sampling from
+    the caption split — never from the feature store — guarantees no
+    training image is ever captioned for evaluation, even against a
+    full-corpus store (e.g. the Karpathy import covers all 30k Flickr
+    images).
+
+    Ids whose features are missing from ``store`` are skipped with a
+    warning (the reference instead dies mid-run on the first missing
+    feature, lrcn.jl:603).
+    """
+    order = list(captions)
+    rng.shuffle(order)
+    ids: list[int] = []
+    seen: set[int] = set()
+    missing = 0
+    for cap in order:
+        image_id = int(cap.image_id)
+        if image_id in seen:
+            continue
+        seen.add(image_id)
+        if store is not None and image_id not in store:
+            missing += 1
+            continue
+        ids.append(image_id)
+        if len(ids) == capnumber:
+            break
+    if missing:
+        print(f"generate: skipped {missing} held-out ids with no stored "
+              f"features")
+    return ids

@@ -375,6 +375,137 @@ def test_quality_gate_bleu_overfit(tmp_path):
         f"first candidates: {open(cand).read().splitlines()[:3]}")
 
 
+def _tiny_checkpoint(path, vocab, feature_dim):
+    """An untrained decoder checkpoint (generation needs no training)."""
+    import jax
+
+    from lrcn_tpu.config import LRCNConfig
+    from lrcn_tpu.models import lrcn as lrcn_model
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, cnn_feature_dim=feature_dim,
+                     vocab_size=len(vocab), compute_dtype="float32")
+    params = lrcn_model.init_params(jax.random.PRNGKey(0), cfg)
+    save_checkpoint(path, params, vocab, cfg)
+
+
+def test_generate_samples_flickr_held_out_split(synthetic, tmp_path,
+                                                monkeypatch):
+    """Eval ids come from the held-out TEST split, never from train, even
+    against a full-corpus feature store (lrcn.jl:132-150); default output
+    names are the reference's candidates_flickr/candidate_ids_flickr
+    (lrcn.jl:133-134)."""
+    from lrcn_tpu.core.tokenizer import flickr_split, tokenize
+
+    vocab, _ = tokenize([synthetic["token"]])
+    ckpt = str(tmp_path / "ckpt")
+    _tiny_checkpoint(ckpt, vocab, 64)
+
+    with open(synthetic["token"]) as f:
+        train_caps, _val, test_caps = flickr_split(f.readlines())
+    train_ids = {c.image_id for c in train_caps}
+    test_ids = {c.image_id for c in test_caps}
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([
+        "generate", "--loadfile", ckpt, "--features", synthetic["feats"],
+        "--datafiles", synthetic["token"],
+        "--capnumber", "30", "--generate", "6", "--beam_width", "1",
+        "--batch-size", "15", "--seed", "9", "--compute-dtype", "float32"])
+    assert rc == 0
+    assert os.path.exists("candidates_flickr")
+    picked = [int(x) for x in open("candidate_ids_flickr").read().split()]
+    assert len(picked) == 30
+    assert not (set(picked) & train_ids), \
+        "generate sampled TRAINING images for evaluation"
+    assert set(picked) <= test_ids
+
+
+def test_generate_samples_coco_val_split(tmp_path, monkeypatch):
+    """COCO: eval ids come from the val json (caption_dicts[2],
+    lrcn.jl:140-142), not from the (train+val) feature store; split ids
+    missing from the store are skipped."""
+    rng = np.random.default_rng(2)
+
+    def make_json(path, id0, n_imgs):
+        anns = [{"image_id": id0 + i,
+                 "caption": " ".join(rng.choice(WORDS, 5))}
+                for i in range(n_imgs) for _ in range(5)]
+        with open(path, "w") as f:
+            json.dump({"annotations": anns}, f)
+        return [id0 + i for i in range(n_imgs)]
+
+    train_json = str(tmp_path / "captions_train.json")
+    val_json = str(tmp_path / "captions_val.json")
+    train_ids = make_json(train_json, 5000, 40)
+    val_ids = make_json(val_json, 9000, 20)
+
+    # full-corpus store: train AND val — but only val may be sampled.
+    # one val id is deliberately missing -> must be skipped, not fatal
+    store_ids = train_ids + val_ids[:-1]
+    feats = {i: l1_normalize(
+        rng.standard_normal((1, 32)).astype(np.float32))[0]
+        for i in store_ids}
+    store_dir = str(tmp_path / "feats")
+    FeatureStore.from_dict(feats, normalized=True).save(store_dir)
+
+    from lrcn_tpu.core.tokenizer import tokenize
+    vocab, _ = tokenize([train_json, val_json])
+    ckpt = str(tmp_path / "ckpt")
+    _tiny_checkpoint(ckpt, vocab, 32)
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([
+        "generate", "--loadfile", ckpt, "--features", store_dir,
+        "--datafiles", train_json, val_json,
+        "--capnumber", "20", "--generate", "6", "--beam_width", "1",
+        "--batch-size", "10", "--seed", "3", "--compute-dtype", "float32"])
+    assert rc == 0
+    picked = [int(x) for x in open("candidate_ids.txt").read().split()]
+    assert len(picked) == 19          # 20 val images, 1 without features
+    assert set(picked) == set(val_ids[:-1])
+
+
+def test_datafiles_autofill(tmp_path):
+    """--flickr/--coco fill the reference's default caption paths
+    (lrcn.jl:24-26,68-69), honoring the annotations/ subdir the current
+    COCO zip extracts to."""
+    import argparse
+
+    def ns(**kw):
+        base = dict(datafiles=[], flickr=False, coco=False,
+                    data_root=str(tmp_path))
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    args = ns(flickr=True)
+    cli._autofill_datafiles(args)
+    assert args.datafiles == [
+        os.path.join(str(tmp_path), "Flickr30k", "results_20130124.token")]
+    assert cli._dataset_kind(args) == "flickr"
+
+    args = ns(coco=True)
+    cli._autofill_datafiles(args)
+    assert [os.path.basename(f) for f in args.datafiles] == [
+        "captions_train2014.json", "captions_val2014.json"]
+    assert cli._dataset_kind(args) == "coco"
+
+    # the nested annotations/ layout wins when only it exists
+    nested = tmp_path / "MsCoCo" / "annotations"
+    nested.mkdir(parents=True)
+    (nested / "captions_train2014.json").write_text("{}")
+    args = ns(coco=True)
+    cli._autofill_datafiles(args)
+    assert args.datafiles[0] == str(nested / "captions_train2014.json")
+
+    # explicit datafiles always win; both flags at once is an error
+    args = ns(flickr=True, datafiles=["x.token"])
+    cli._autofill_datafiles(args)
+    assert args.datafiles == ["x.token"]
+    with pytest.raises(SystemExit):
+        cli._autofill_datafiles(ns(flickr=True, coco=True))
+
+
 def test_eval_coco_json_path(tmp_path):
     """`lrcn eval` with COCO-style annotations (eval/eval.jl:8-38 flow)."""
     anns = {"annotations": [
