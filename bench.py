@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -184,14 +185,21 @@ def main(argv=None):
         names = ["decode"]  # driver contract: ONE JSON line
     for name in names:
         # the experimental TPU runtime occasionally drops a dispatch with
-        # a transient INTERNAL error; retry before giving up
+        # a transient error; retry ONLY those signatures — deterministic
+        # failures must surface on the first attempt, not after 3 silent
+        # retries
+        transient = ("INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                     "RESOURCE_EXHAUSTED", "ABORTED")
         for attempt in range(3):
             try:
                 result = BENCHES[name]()
                 break
-            except Exception:
-                if attempt == 2:
+            except Exception as e:
+                if attempt == 2 or not any(s in str(e) for s in transient):
                     raise
+                print(f"bench {name}: transient runtime error, retrying "
+                      f"({type(e).__name__}: {e})", file=sys.stderr,
+                      flush=True)
                 time.sleep(10)
         print(json.dumps(result), flush=True)
 

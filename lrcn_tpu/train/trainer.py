@@ -68,6 +68,11 @@ class Trainer:
         # HBM — host dispatch overhead and the per-step feature upload
         # both amortize away (see train_epoch for the ordering caveat).
         # Not combined with the pipeline step (its own shard_map program).
+        if self._pipeline and steps_per_dispatch > 1:
+            import warnings
+            warnings.warn(
+                "steps_per_dispatch > 1 is not supported with pipeline "
+                "parallelism; running 1 step per dispatch", stacklevel=2)
         self.steps_per_dispatch = (1 if self._pipeline
                                    else max(1, steps_per_dispatch))
         self._multi_step = None
