@@ -187,38 +187,103 @@ def l1_normalize(feats: jax.Array) -> jax.Array:
     return feats / jnp.sum(feats, axis=-1, keepdims=True)
 
 
+def _layer_weights(layer: dict) -> tuple[np.ndarray, np.ndarray] | None:
+    """(filters, biases) from a MatConvNet layer struct, or None.
+
+    Handles both release layouts: the beta16+ ``weights`` 1x2 cell (what
+    the reference's Knet loader reads, lrcn.jl:706-712) and the original
+    2014 release's separate ``filters``/``biases`` fields.  scipy's
+    ``simplify_cells`` turns the cell into a list/object-array either way.
+    """
+    if layer.get("weights") is not None and len(layer["weights"]) >= 2:
+        pair = layer["weights"]
+        return np.asarray(pair[0]), np.asarray(pair[1])
+    if layer.get("filters") is not None:
+        return np.asarray(layer["filters"]), np.asarray(layer["biases"])
+    return None
+
+
+def _fc6_weight(w: np.ndarray) -> np.ndarray:
+    """fc6 filters -> (7, 7, 512, D).
+
+    The .mat stores fc6 as a (7,7,512,4096) conv (kept as-is; any 4-D
+    shape passes through so width-scaled test fixtures work).  If a
+    release stores it pre-flattened to 2-D, the flatten was MATLAB
+    column-major (the ``mat()`` order the reference relies on,
+    lrcn.jl:712,728): row = h + 7*w + 49*c, undone below.
+    """
+    if w.ndim == 4:
+        return w
+    if w.ndim == 2 and w.shape[0] == 7 * 7 * 512:
+        return w.reshape(512, 7, 7, -1).transpose(2, 1, 0, 3)
+    raise ValueError(f"unexpected fc6 weight shape {w.shape}")
+
+
+def _average_image(mat: dict) -> np.ndarray:
+    """normalization.averageImage from either release layout.
+
+    beta16+ nests it under ``meta`` (what the reference reads,
+    lrcn.jl:113); the 2014 release keeps ``normalization`` top-level.
+    Stored as a (224,224,3) image or a per-channel mean ((3,) / (1,1,3),
+    squeezed to (3,) by simplify_cells) — broadcast to the full image.
+    """
+    norm = None
+    meta = mat.get("meta")
+    if isinstance(meta, dict):
+        norm = meta.get("normalization")
+    if norm is None:
+        norm = mat.get("normalization")
+    if not isinstance(norm, dict) or "averageImage" not in norm:
+        raise ValueError(
+            "no normalization.averageImage in the .mat (looked under "
+            "'meta' and top-level)")
+    avg = np.asarray(norm["averageImage"], np.float32)
+    avg = avg.reshape(-1) if avg.size == 3 else avg
+    if avg.ndim == 1:
+        avg = np.broadcast_to(avg, (224, 224, 3)).copy()
+    if avg.ndim != 3 or avg.shape[-1] != 3:
+        raise ValueError(f"unexpected averageImage shape {avg.shape}")
+    return avg
+
+
 def load_matconvnet(path: str) -> tuple[Params, np.ndarray]:
     """Import ``imagenet-vgg-verydeep-16.mat`` -> (params, average_image).
 
     Reproduces the reference's load-time fixes (lrcn.jl:697-721): walk the
     layer list in order, collect weights for conv/fc layers, stop at fc7
-    inclusive.  fc6 keeps its (7,7,512,4096) conv structure; fc7 (1,1,4096,
-    4096) is squeezed to a dense (4096,4096).
+    inclusive.  fc6 keeps its (7,7,512,4096) conv structure; fc7
+    ((1,1,4096,4096), squeezed by scipy to 2-D) becomes a dense
+    (4096,4096).  Both MatConvNet release layouts load (see
+    ``_layer_weights`` / ``_average_image``).
     """
     from scipy.io import loadmat
 
     mat = loadmat(path, simplify_cells=True)
     layers = mat["layers"]
+    if isinstance(layers, dict):   # single-layer cell squeezed to a struct
+        layers = [layers]
     params: Params = {}
     for layer in layers:
         name = str(layer["name"])
         if not (name.startswith("conv") or name.startswith("fc")):
             continue
-        w, b = layer["weights"][0], layer["weights"][1]
+        pair = _layer_weights(layer)
+        if pair is None:
+            raise ValueError(f"layer {name!r} has no weights/filters")
+        w, b = pair
         b = np.asarray(b, np.float32).reshape(-1)
         w = np.asarray(w, np.float32)
         if name == "fc6":
-            w = w.reshape(7, 7, 512, FC6_DIM)
+            w = _fc6_weight(w)
         elif name.startswith("fc"):
             w = w.reshape(-1, w.shape[-1])
         params[name] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
         if name == "fc7":
             break
-    avg = np.asarray(
-        mat["meta"]["normalization"]["averageImage"], np.float32)
-    if avg.ndim == 1:  # some releases store a per-channel mean
-        avg = np.broadcast_to(avg, (224, 224, 3)).copy()
-    return params, avg
+    if "fc7" not in params:
+        raise ValueError("no fc7 layer found — not a VGG-16 MatConvNet "
+                         "file?")
+    return params, _average_image(mat)
 
 
 def vgg_param_count(params: Params) -> int:
