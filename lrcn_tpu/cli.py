@@ -221,6 +221,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan-depth", type=int, default=8,
                    help="batches per scanned device dispatch (amortizes "
                         "per-dispatch host overhead)")
+    p.add_argument("--flush-every", type=int, default=8,
+                   help="atomic store snapshot every N groups; a crash "
+                        "loses at most N*scan_depth batches (0 = only "
+                        "save at the end, the reference's fragile "
+                        "behavior, lrcn.jl:220)")
     p.add_argument("--no-normalize", action="store_true",
                    help="skip L1 normalization (reference stores "
                         "pre-normalized featsn files)")
@@ -659,15 +664,16 @@ def cmd_extract_features(args) -> int:
     vgg_params = jax.device_put(vgg_params)
     paths = _image_paths_from_dir(args.images)
     store = None
-    if os.path.exists(os.path.join(args.out, "meta.json")):
-        store = FeatureStore.load(args.out, mmap=False)  # resume, lrcn.jl:203
+    # roll forward any snapshot a crashed run left behind, then resume
+    if FeatureStore.recover(args.out) is not None:
+        store = FeatureStore.load(args.out)       # resume, lrcn.jl:203
         print(f"resuming: {len(store)} features already extracted")
     store = extract_features(
         paths, vgg_params, avg, store=store, batch_size=args.batch_size,
         normalize=not args.no_normalize,
         compute_dtype=jnp.dtype(args.compute_dtype),
-        scan_depth=args.scan_depth)
-    store.save(args.out)
+        scan_depth=args.scan_depth,
+        checkpoint_dir=args.out, flush_every=args.flush_every)
     print(f"saved {len(store)} features to {args.out}")
     return 0
 

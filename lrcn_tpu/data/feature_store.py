@@ -87,8 +87,60 @@ class FeatureStore:
             feats[row] = self._row(row)
         np.save(os.path.join(path, "features.npy"), feats)
         np.save(os.path.join(path, "ids.npy"), ids)
+        # meta last: a directory is a valid store iff meta.json exists,
+        # which is what save_atomic/recover key on
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"dim": self.dim, "normalized": self.normalized}, f)
+
+    def save_atomic(self, path: str) -> None:
+        """Crash-safe save: write a complete snapshot to ``path.tmp``,
+        then swap it into place.
+
+        A kill at ANY instant leaves a loadable store: either the old
+        ``path``, or a complete ``path.tmp``/``path.old`` that
+        :meth:`recover` rotates back in.  Required for periodic flushing
+        during extraction — a plain ``save`` onto a directory this store
+        is mmap-reading from would truncate the mapped file mid-run.
+        """
+        import shutil
+
+        tmp, old = path + ".tmp", path + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.save(tmp)
+        if os.path.exists(os.path.join(path, "meta.json")):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+        elif os.path.isdir(path):   # partial non-atomic save: discard
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    @classmethod
+    def recover(cls, path: str) -> str | None:
+        """Roll a crashed :meth:`save_atomic` forward; return the loadable
+        path (``path`` itself) or None when nothing is there.
+
+        Precedence: a COMPLETE ``path.tmp`` is strictly newer than
+        ``path`` (save_atomic clears it before every snapshot), so it
+        wins; else an intact ``path``; else ``path.old`` (the crash hit
+        mid-swap).  Incomplete leftovers are removed.
+        """
+        import shutil
+
+        def complete(p):
+            return os.path.exists(os.path.join(p, "meta.json"))
+
+        tmp, old = path + ".tmp", path + ".old"
+        for candidate in (tmp, path, old):
+            if complete(candidate):
+                if candidate != path:
+                    if os.path.isdir(path):
+                        shutil.rmtree(path)
+                    os.rename(candidate, path)
+                break
+        for leftover in (tmp, old):
+            shutil.rmtree(leftover, ignore_errors=True)
+        return path if complete(path) else None
 
     # --- access ---
 

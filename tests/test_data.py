@@ -1,5 +1,7 @@
 """Batcher / feature-store / pipeline tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -107,6 +109,59 @@ def test_feature_store_resumable(tmp_path):
     s2.save(str(tmp_path / "s"))
     s3 = FeatureStore.load(str(tmp_path / "s"))
     assert sorted(s3.ids()) == [1, 2]
+
+
+def test_save_atomic_and_recover_crash_windows(tmp_path):
+    """Every crash window of save_atomic leaves a recoverable store:
+    complete .tmp beats path (it is strictly newer), path beats .old,
+    incomplete leftovers are cleaned up."""
+    import shutil
+
+    def make_store(val):
+        s = FeatureStore(dim=4)
+        s.add(1, np.full(4, val))
+        return s
+
+    path = str(tmp_path / "s")
+
+    # normal atomic save over nothing, then over an existing store
+    make_store(1.0).save_atomic(path)
+    assert FeatureStore.load(path).get(1)[0] == 1.0
+    make_store(2.0).save_atomic(path)
+    assert FeatureStore.load(path).get(1)[0] == 2.0
+    assert not os.path.exists(path + ".tmp")
+    assert not os.path.exists(path + ".old")
+
+    # crash after .tmp completed, before swap: tmp (newer) must win
+    make_store(3.0).save(path + ".tmp")
+    assert FeatureStore.recover(path) == path
+    assert FeatureStore.load(path).get(1)[0] == 3.0
+    assert not os.path.exists(path + ".tmp")
+
+    # crash mid-swap: path gone, .old holds the previous snapshot
+    os.rename(path, path + ".old")
+    assert FeatureStore.recover(path) == path
+    assert FeatureStore.load(path).get(1)[0] == 3.0
+
+    # INCOMPLETE .tmp (killed mid-write: no meta.json yet) is discarded
+    make_store(9.0).save(path + ".tmp")
+    os.remove(os.path.join(path + ".tmp", "meta.json"))
+    assert FeatureStore.recover(path) == path
+    assert FeatureStore.load(path).get(1)[0] == 3.0
+    assert not os.path.exists(path + ".tmp")
+
+    # nothing anywhere -> None
+    shutil.rmtree(path)
+    assert FeatureStore.recover(path) is None
+
+    # a store mmap-loaded from path can snapshot onto its own path
+    make_store(4.0).save_atomic(path)
+    live = FeatureStore.load(path)          # mmap open on features.npy
+    live.add(2, np.full(4, 5.0))
+    live.save_atomic(path)                  # reads via the old inode
+    re = FeatureStore.load(path)
+    assert sorted(re.ids()) == [1, 2]
+    assert re.get(2)[0] == 5.0
 
 
 def test_feature_store_missing_raises():

@@ -249,6 +249,95 @@ def test_golden_fc7_real_weights():
     np.testing.assert_allclose(feats, golden, rtol=1e-4, atol=1e-3)
 
 
+def _save_small_mat(path, rng, fc_dim=24):
+    """A width-8 MatConvNet file (new layout) for fast CPU extraction."""
+    from scipy.io import savemat
+
+    weights = _small_vgg_layers(rng, fc_dim=fc_dim)
+    layers = []
+    for name, (w, b) in weights.items():
+        layers.append({"name": name, "type": "conv",
+                       "weights": np.array([w * 0.05, b * 0.0],
+                                           dtype=object)})
+    savemat(path, {"layers": np.array(layers, dtype=object),
+                   "meta": {"normalization": {"averageImage": np.full(
+                       (224, 224, 3), 110, np.float32)}}})
+
+
+def test_extract_features_survives_sigkill(tmp_path):
+    """Kill extraction mid-run; the periodic atomic flush must leave a
+    loadable store and the resumed run must complete it (the reference
+    saves once at the end and would lose everything, lrcn.jl:220)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    n_images = 96
+    for i in range(n_images):
+        Image.fromarray(rng.integers(0, 255, (230, 250, 3))
+                        .astype(np.uint8)).save(
+            str(img_dir / f"{7000 + i}.jpg"))
+    mat_path = str(tmp_path / "vgg_small.mat")
+    _save_small_mat(mat_path, rng)
+    out = str(tmp_path / "feats")
+
+    args = ["extract-features", "--cnn", mat_path, "--images",
+            str(img_dir), "--out", out, "--batch-size", "4",
+            "--scan-depth", "2", "--flush-every", "1",
+            "--no-normalize", "--compute-dtype", "float32"]
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         "import sys; from lrcn_tpu.cli import main; "
+         "sys.exit(main(sys.argv[1:]))", *args],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd="/tmp", stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    # kill as soon as the first flush lands (any snapshot state counts —
+    # the kill may race the atomic swap itself)
+    deadline = time.time() + 300
+    while time.time() < deadline and child.poll() is None:
+        if any(os.path.exists(os.path.join(p, "meta.json"))
+               for p in (out, out + ".tmp", out + ".old")):
+            break
+        time.sleep(0.02)
+    child.send_signal(signal.SIGKILL)
+    child.wait()
+
+    assert FeatureStore.recover(out) == out, \
+        "no loadable snapshot after SIGKILL"
+    partial = FeatureStore.load(out)
+    done_at_kill = len(partial)
+    assert 0 < done_at_kill < n_images, \
+        f"kill did not land mid-run ({done_at_kill}/{n_images})"
+    # each flush covers whole groups: flush_every=1 group of 2 batches of 4
+    assert done_at_kill % 8 == 0
+
+    # resume and finish in-process (what cmd_extract_features does)
+    params, avg = vgg.load_matconvnet(mat_path)
+    paths = {7000 + i: str(img_dir / f"{7000 + i}.jpg")
+             for i in range(n_images)}
+    full = extract_features(paths, params, avg, store=partial,
+                            batch_size=4, scan_depth=2, normalize=False,
+                            compute_dtype=jnp.float32,
+                            checkpoint_dir=out, flush_every=1)
+    assert len(full) == n_images
+    saved = FeatureStore.load(out)
+    assert sorted(saved.ids()) == sorted(paths)
+    # resumed rows equal a from-scratch extraction (same jitted program)
+    # no normalize: random-weight fc7 sums are ~0, so L1 normalization
+    # would amplify benign float noise into huge relative errors
+    fresh = extract_features({7000: paths[7000]}, params, avg,
+                             batch_size=4, scan_depth=2, normalize=False,
+                             compute_dtype=jnp.float32)
+    np.testing.assert_allclose(saved.get(7000), fresh.get(7000),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_resize_crop_exact_arithmetic():
     # reference: new_size = (dim * 224) ÷ min(dims) (lrcn.jl:756)
     img = np.zeros((300, 500, 3), np.uint8)
