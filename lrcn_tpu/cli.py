@@ -140,8 +140,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics", help="JSONL metrics file")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="run N optimizer steps per device dispatch "
-                        "(scanned same-shape batches, feature table "
-                        "resident in HBM); amortizes host overhead")
+                        "(scanned same-shape batches; feature table "
+                        "resident in HBM, or stacked uint8 image batches "
+                        "with --joint); amortizes host overhead")
     # --- joint CNN+LSTM fine-tune (paper LRCN-2f, 1411.4389.pdf Table 6;
     #     the reference only ever trains on frozen offline features) ---
     p.add_argument("--joint", action="store_true",
@@ -158,6 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: lr / 10)")
     p.add_argument("--freeze-cnn", action="store_true",
                    help="keep the encoder frozen during --joint training")
+    p.add_argument("--no-remat-cnn", action="store_true",
+                   help="keep VGG activations instead of rematerializing "
+                        "in the backward pass: ~26%% faster when the "
+                        "batch fits HBM (1,271 vs 1,009 img/s at B=128 "
+                        "on a 16 GB v5e), OOMs otherwise")
     _add_model_args(p)
     _add_common_args(p)
 
@@ -187,6 +193,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=2.0,
                    help="softmax temperature for --sample")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--scan-depth", type=int, default=4,
+                   dest="decode_scan_depth",
+                   help="batches decoded per device dispatch (lax.scan "
+                        "group; 1 disables group scanning)")
+    p.add_argument("--max-inflight", type=int, default=4,
+                   dest="decode_max_inflight",
+                   help="decode dispatches queued ahead of the host "
+                        "fetch (bounds device+host memory)")
     p.add_argument("--out", default=None,
                    help="candidates file (default: candidates.txt, or "
                         "candidates_flickr for the Flickr split — "
@@ -465,8 +479,6 @@ def _train_joint(args) -> int:
     if not args.images:
         raise SystemExit("lrcn train --joint: --images is required")
     for flag, value in (("--pipeline", args.pipeline),
-                        ("--steps-per-dispatch",
-                         args.steps_per_dispatch > 1),
                         ("--equal-length-batches",
                          args.equal_length_batches),
                         ("--features", args.features),
@@ -529,7 +541,9 @@ def _train_joint(args) -> int:
     metrics = MetricsLogger(args.metrics)
     trainer = JointTrainer(cfg, vocab, image_paths, average_image,
                            metrics=metrics, mesh=mesh, cnn_lr=args.cnn_lr,
-                           freeze_cnn=args.freeze_cnn)
+                           freeze_cnn=args.freeze_cnn,
+                           steps_per_dispatch=args.steps_per_dispatch,
+                           remat_cnn=not args.no_remat_cnn)
     params, opt_state = trainer.init(
         jax.random.PRNGKey(max(cfg.seed, 0)), vgg_params=vgg_params,
         decoder_params=decoder_params)
@@ -609,6 +623,8 @@ def cmd_generate(args) -> int:
         max_words=args.max_words, batch_size=args.batch_size,
         sample_n=args.sample, temperature=args.temperature,
         rng=jax.random.PRNGKey(max(args.seed, 0)),
+        scan_depth=args.decode_scan_depth,
+        max_inflight=args.decode_max_inflight,
         compute_dtype=jnp.dtype(args.compute_dtype))
     write_candidate_files(lines, ids, args.out, args.ids_out)
     print(f"wrote {len(lines)} captions to {args.out}")

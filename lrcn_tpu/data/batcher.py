@@ -172,3 +172,33 @@ def iterate_epoch(batches: Sequence[Batch], rng: np.random.Generator | None
              else epoch_order(len(batches), rng))
     for i in order:
         yield batches[int(i)]
+
+
+def chunk_same_shape(batches: Sequence[Batch], k: int,
+                     rng: np.random.Generator | None
+                     ) -> tuple[list[list[Batch]], list[Batch]]:
+    """Same-shape stacks of K batches, plus a single-step tail.
+
+    Used by the K-steps-per-dispatch trainers (decoder and joint): XLA
+    scans over stacked batches, which requires uniform shapes per stack.
+    Ordering divergence from the one-step path (documented): shape groups
+    run one after another (shuffled), batches shuffled WITHIN each group.
+    The reference itself trains on equal-length batches in shuffled order
+    (lrcn.jl:351), so the curriculum effect is comparable.
+    """
+    by_shape: dict[tuple, list[Batch]] = {}
+    for b in batches:
+        by_shape.setdefault((b.batch_size, b.padded_len), []).append(b)
+    shapes = list(by_shape)
+    if rng is not None:
+        shapes = [shapes[i] for i in rng.permutation(len(shapes))]
+    chunks: list[list[Batch]] = []
+    tail: list[Batch] = []
+    for shape in shapes:
+        group = by_shape[shape]
+        if rng is not None:
+            group = [group[i] for i in rng.permutation(len(group))]
+        split = len(group) - len(group) % k
+        chunks.extend(group[s:s + k] for s in range(0, split, k))
+        tail.extend(group[split:])
+    return chunks, tail

@@ -134,21 +134,23 @@ def _beam_search_impl(params: Params, feats: jax.Array, *,
         new_state = LSTMState(*(
             _gather_beams(s.reshape(b_dim, k, -1), parent) for s in new_flat))
 
-        # freeze finished batch rows (their search already returned):
-        # identity parent + EOS filler reproduce the old token-buffer
-        # semantics exactly (unwritten buffer positions were 0 == EOS_ID)
+        # Finished batch rows: only the OUTPUTS are frozen — identity
+        # parent + EOS filler reproduce the old token-buffer semantics
+        # exactly (unwritten buffer positions were 0 == EOS_ID), and the
+        # final scores freeze via `keep`.  The recurrent state and `last`
+        # deliberately keep evolving: everything they influence after
+        # `done` (words, parents, candidate scores) is overwritten by the
+        # selects below or discarded, so freezing them bought nothing but
+        # five (B, K, H)-sized selects per step (~15% of the "state
+        # gathers + misc" bucket, docs/SPEED_OF_LIGHT.md).
         keep = c.done
         parent_rec = jnp.where(keep[:, None], identity, parent)
         word_rec = jnp.where(keep[:, None],
                              jnp.asarray(EOS_ID, jnp.int32), word)
-        last = jnp.where(keep[:, None], c.last, word)
         scores = jnp.where(keep[:, None], c.scores, top_scores)
-        state = LSTMState(*(
-            jnp.where(keep[:, None, None], old, new)
-            for old, new in zip(c.state, new_state)))
         # stop rule: the CURRENT BEST hypothesis ends with EOS (lrcn.jl:670)
         done = jnp.logical_or(keep, word[:, 0] == EOS_ID)
-        return (_BeamCarry(last, scores, state, done),
+        return (_BeamCarry(word, scores, new_state, done),
                 (parent_rec, word_rec))
 
     # The token history is NOT carried through the scan (per-step gather +
@@ -241,14 +243,14 @@ def _greedy_search_impl(params: Params, feats: jax.Array, *,
         step_score = jnp.take_along_axis(logp, word[:, None], axis=1)[:, 0]
 
         # finished rows emit EOS filler (== the old zero-initialized
-        # token buffer) and stop advancing
+        # token buffer); their score stops accumulating.  As in beam
+        # search, the state and `last` keep evolving — post-done words
+        # are masked to EOS here, so the extra recurrence is discarded
+        # and the per-step state selects are saved.
         word_rec = jnp.where(done, jnp.asarray(EOS_ID, jnp.int32), word)
-        last = jnp.where(done, last, word)
         scores = jnp.where(done, scores, scores + step_score)
-        state = LSTMState(*(jnp.where(done[:, None], old, new)
-                            for old, new in zip(state, new_state)))
         done = jnp.logical_or(done, word == EOS_ID)
-        return (last, scores, state, done), word_rec
+        return (word, scores, new_state, done), word_rec
 
     carry0 = (jnp.full((b_dim,), BOS_ID, jnp.int32),
               jnp.zeros((b_dim,), jnp.float32), state0,

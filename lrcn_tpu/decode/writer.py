@@ -42,7 +42,7 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
                       max_words: int = 30, batch_size: int = 64,
                       normalize: bool | None = None,
                       sample_n: int = 0, temperature: float = 2.0,
-                      rng=None,
+                      rng=None, scan_depth: int = 4, max_inflight: int = 4,
                       compute_dtype=jnp.bfloat16) -> list[str]:
     """Decode captions for ``image_ids`` in device batches.
 
@@ -53,6 +53,11 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
     normalization when the store says it is already normalized (the
     reference's ``featsn`` files are pre-normalized; the live-CNN path
     normalizes at lrcn.jl:597).
+
+    ``scan_depth``: batches decoded per device dispatch (``lax.scan``
+    group); ``max_inflight``: dispatches queued ahead of the host fetch.
+    Both trade host/device overlap against memory; the defaults are the
+    measured sweet spot on a v5e (BENCH_DETAIL.md).
     """
     import jax
 
@@ -83,7 +88,7 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
     # of batches inside ONE dispatch.
     lines: list[str] = []
     pending: list[tuple] = []   # (tokens device array (G, B, T), [n_real])
-    max_inflight = 4
+    max_inflight = max(1, max_inflight)
 
     def drain_one():
         tokens, n_reals = pending.pop(0)
@@ -105,13 +110,19 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
             if len(pending) > max_inflight:
                 drain_one()
     else:
-        scan_depth = 4
+        scan_depth = max(1, scan_depth)
         search = (greedy_search_scan if beam_width == 1 else
                   lambda p, f, **kw: beam_search_scan(
                       p, f, beam_width=beam_width, **kw))
         for g in range(0, len(id_batches), scan_depth):
             group = [host_batch(ids)
                      for ids in id_batches[g:g + scan_depth]]
+            # pad a short tail group by repeating its last batch (with
+            # n_real = 0 so no caption is emitted for the filler) — one
+            # program shape for the whole run instead of compiling a
+            # second, tail-sized scan
+            while len(group) < scan_depth:
+                group.append((group[-1][0], 0))
             stacked = jnp.asarray(np.stack([f for f, _ in group]))
             tokens, _ = search(params, stacked, max_words=max_words,
                                compute_dtype=compute_dtype)

@@ -74,32 +74,94 @@ def make_joint_optimizer(cfg: LRCNConfig, *, cnn_lr: float | None = None,
 class JointTrainStep:
     """Jitted end-to-end train step (optionally over a mesh).
 
+    Images are fed RAW — uint8 pixels (or 255-scaled float32); the
+    mean-image subtraction runs on device inside the jitted step, so the
+    host ships a quarter of the bytes a float32 feed would (the tunnel's
+    ~44 MB/s host->device link is the joint path's scarcest resource,
+    docs/SPEED_OF_LIGHT.md).
+
     With a mesh, images/tokens/lengths shard over the ``data`` axis and
     params replicate; pass batches through ``shard_batch``.
+
+    ``multi_step`` runs K optimizer steps in ONE dispatch (``lax.scan``
+    over stacked same-shape batches) — the same dispatch-amortization
+    that lifted the decoder trainer 4.3x (train/trainer.py).
     """
 
     def __init__(self, cfg: LRCNConfig, opt: optax.GradientTransformation,
-                 mesh=None, remat_cnn: bool = True):
+                 mesh=None, remat_cnn: bool = True, average_image=None):
+        import numpy as np
+
         self.cfg = cfg
         self.opt = opt
         self.mesh = mesh
         self._compute_dtype = jnp.dtype(cfg.compute_dtype)
         self._remat = remat_cnn
+        avg = (np.zeros((224, 224, 3), np.float32) if average_image is None
+               else np.asarray(average_image, np.float32))
+        self._avg = jnp.asarray(avg)
         kwargs = {}
+        multi_kwargs = {}
+        ev_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            kwargs["out_shardings"] = (None, None,
-                                       NamedSharding(mesh, P()))
+            rep = NamedSharding(mesh, P())
+            self._avg = jax.device_put(self._avg, rep)
+            kwargs["out_shardings"] = (None, None, rep)
+            multi_kwargs["out_shardings"] = (None, None, rep)
+            ev_kwargs["out_shardings"] = (rep, rep)
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1),
                              **kwargs)
+        self._multi = jax.jit(self._multi_step_impl, donate_argnums=(0, 1),
+                              **multi_kwargs)
+        self._eval = jax.jit(self._eval_impl, **ev_kwargs)
 
-    def _step_impl(self, params, opt_state, images, tokens, lengths, rng):
+    def _preprocess(self, images):
+        """uint8/float raw pixels -> float32 mean-subtracted (lrcn.jl:771)."""
+        return images.astype(jnp.float32) - self._avg
+
+    def _grad_step(self, params, opt_state, images, tokens, lengths, rng):
         loss, grads = jax.value_and_grad(joint_loss)(
-            params, images, tokens, lengths, pdrop=self.cfg.dropout,
-            rng=rng, compute_dtype=self._compute_dtype,
-            remat_cnn=self._remat)
+            params, self._preprocess(images), tokens, lengths,
+            pdrop=self.cfg.dropout, rng=rng,
+            compute_dtype=self._compute_dtype, remat_cnn=self._remat)
         updates, opt_state = self.opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    def _step_impl(self, params, opt_state, images, tokens, lengths, rng):
+        return self._grad_step(params, opt_state, images, tokens, lengths,
+                               rng)
+
+    def _multi_step_impl(self, params, opt_state, images_k, tokens_k,
+                         lengths_k, base_rng, offset):
+        """K train steps in one dispatch; per-step dropout keys derive
+        from (base_rng, offset) inside the program (a host-side split per
+        chunk measured 3x the whole step on the CI runtime — see the
+        decoder trainer's identical note, train/trainer.py)."""
+        k = tokens_k.shape[0]
+        rngs_k = jax.vmap(
+            lambda i: jax.random.fold_in(base_rng, offset + i)
+        )(jnp.arange(k))
+
+        def body(carry, xs):
+            params, opt_state = carry
+            images, tokens, lengths, rng = xs
+            params, opt_state, loss = self._grad_step(
+                params, opt_state, images, tokens, lengths, rng)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            (images_k, tokens_k, lengths_k, rngs_k))
+        return params, opt_state, losses
+
+    def _eval_impl(self, params, images, tokens, lengths):
+        feats = vgg.l1_normalize(vgg.vgg16_fc7_fn(
+            params.cnn, self._preprocess(images),
+            compute_dtype=self._compute_dtype))
+        return lrcn.loss_total_count(
+            params.decoder, tokens, lengths, feats, pdrop=0.0,
+            compute_dtype=self._compute_dtype)
 
     def init(self, rng: jax.Array, vgg_params=None) -> tuple:
         k1, k2 = jax.random.split(rng)
@@ -113,17 +175,42 @@ class JointTrainStep:
                 params, NamedSharding(self.mesh, P()))
         return params, self.opt.init(params)
 
-    def shard_batch(self, images, tokens, lengths):
-        import numpy as np
+    def _put(self, array, *, batch_axis: int):
         if self.mesh is None:
-            return (jnp.asarray(images, jnp.float32),
-                    jnp.asarray(tokens, jnp.int32),
-                    jnp.asarray(lengths, jnp.int32))
+            return array
         from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P("data"))
-        return (jax.device_put(jnp.asarray(images, jnp.float32), sh),
-                jax.device_put(jnp.asarray(tokens, jnp.int32), sh),
-                jax.device_put(jnp.asarray(lengths, jnp.int32), sh))
+        spec = [None] * batch_axis + ["data"]
+        return jax.device_put(array, NamedSharding(self.mesh, P(*spec)))
+
+    def _as_image_array(self, images):
+        images = jnp.asarray(images)
+        if images.dtype != jnp.uint8:   # already-scaled float pixels
+            images = images.astype(jnp.float32)
+        return images
+
+    def shard_batch(self, images, tokens, lengths):
+        """Raw image pixels (uint8 preferred) + tokens -> device arrays."""
+        return (self._put(self._as_image_array(images), batch_axis=0),
+                self._put(jnp.asarray(tokens, jnp.int32), batch_axis=0),
+                self._put(jnp.asarray(lengths, jnp.int32), batch_axis=0))
+
+    def shard_chunk(self, images_k, tokens_k, lengths_k):
+        """K stacked batches for ``multi_step`` (leading scan axis)."""
+        return (self._put(self._as_image_array(images_k), batch_axis=1),
+                self._put(jnp.asarray(tokens_k, jnp.int32), batch_axis=1),
+                self._put(jnp.asarray(lengths_k, jnp.int32), batch_axis=1))
 
     def __call__(self, params, opt_state, images, tokens, lengths, rng):
         return self._step(params, opt_state, images, tokens, lengths, rng)
+
+    def multi_step(self, params, opt_state, images_k, tokens_k, lengths_k,
+                   base_rng, offset):
+        import numpy as np
+        return self._multi(params, opt_state, images_k, tokens_k,
+                           lengths_k, base_rng, np.int32(offset))
+
+    def eval_batch(self, params, images, tokens, lengths):
+        """(total NLL, token count) for one batch, images preprocessed
+        on device; compiled once (round-2 advice: the per-call closure
+        retraced every validation pass)."""
+        return self._eval(params, images, tokens, lengths)

@@ -9,11 +9,15 @@ step, exposed to users as ``lrcn train --joint``:
 - caption batches come from the same length-bucketed batcher as decoder
   training; each batch's image ids resolve to image files which are
   decoded on the host (native JPEG loader with PIL fallback) and fed as
-  uint8 — the 255-scale/mean-subtract preprocessing runs on device inside
-  the jitted step;
-- host decode of batch N+1 overlaps with device compute of batch N via a
-  depth-1 prefetch thread (the decode is the hot host path: 13 convs'
-  worth of device work per batch buys a lot of overlap budget);
+  uint8 — the mean-subtract preprocessing runs on device inside the
+  jitted step (a quarter of the float32 transfer bytes);
+- host decode overlaps with device compute via a prefetch pool
+  (``prefetch_depth`` loads in flight; the decode is the hot host path:
+  13 convs' worth of device work per batch buys a lot of overlap budget);
+- ``steps_per_dispatch > 1`` stacks K same-shape batches and runs K
+  optimizer steps per device dispatch (``lax.scan``), amortizing the CI
+  runtime's per-dispatch round trip exactly like the decoder trainer
+  (train/trainer.py);
 - per-epoch checkpoints carry BOTH parameter sets (cnn/ + decoder/ key
   prefixes in params.npz) plus vocab and config.
 """
@@ -25,13 +29,15 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from lrcn_tpu.config import LRCNConfig
 from lrcn_tpu.core.vocab import Vocab
-from lrcn_tpu.data.batcher import Batch, iterate_epoch
-from lrcn_tpu.models import vgg
+from lrcn_tpu.data.batcher import (
+    Batch,
+    chunk_same_shape,
+    iterate_epoch,
+)
 from lrcn_tpu.models.joint import (
     JointParams,
     JointTrainStep,
@@ -47,7 +53,9 @@ class JointTrainer:
     def __init__(self, cfg: LRCNConfig, vocab: Vocab,
                  image_paths: dict[int, str], average_image: np.ndarray,
                  metrics: MetricsLogger | None = None, mesh=None,
-                 cnn_lr: float | None = None, freeze_cnn: bool = False):
+                 cnn_lr: float | None = None, freeze_cnn: bool = False,
+                 steps_per_dispatch: int = 1, prefetch_depth: int = 2,
+                 remat_cnn: bool = True):
         self.cfg = cfg
         self.vocab = vocab
         self.image_paths = image_paths
@@ -55,8 +63,11 @@ class JointTrainer:
         self.metrics = metrics or MetricsLogger()
         self.opt = make_joint_optimizer(cfg, cnn_lr=cnn_lr,
                                         freeze_cnn=freeze_cnn)
-        self.step = JointTrainStep(cfg, self.opt, mesh=mesh)
-        self._compute_dtype = jnp.dtype(cfg.compute_dtype)
+        self.step = JointTrainStep(cfg, self.opt, mesh=mesh,
+                                   average_image=self.average_image,
+                                   remat_cnn=remat_cnn)
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
+        self.prefetch_depth = max(1, prefetch_depth)
 
     def init(self, rng: jax.Array, vgg_params=None,
              decoder_params=None) -> tuple:
@@ -69,30 +80,35 @@ class JointTrainer:
     # --- host image feed ---
 
     def _load_images(self, batch: Batch) -> np.ndarray:
-        """Decode the batch's images -> (B, 224, 224, 3) float32 (mean-sub).
+        """Decode the batch's images -> (B, 224, 224, 3) uint8 pixels.
 
-        Padded rows (length == -1, data/batcher.py) repeat the last real
-        image id, so every id in ``batch.image_ids`` resolves.
+        Mean subtraction happens ON DEVICE inside the jitted step
+        (models/joint.py) — the host ships raw uint8.  Padded rows
+        (length == -1, data/batcher.py) repeat the last real image id,
+        so every id in ``batch.image_ids`` resolves.
         """
         from lrcn_tpu.data.images import load_images
 
-        imgs = load_images(
+        return load_images(
             [self.image_paths[int(i)] for i in batch.image_ids])
-        return imgs.astype(np.float32) - self.average_image
 
-    def _device_batches(self, batches: Sequence[Batch],
-                        rng: np.random.Generator | None):
-        """Depth-1 decode prefetch feeding sharded device batches."""
-        order = list(iterate_epoch(batches, rng))
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            future = (pool.submit(self._load_images, order[0])
-                      if order else None)
-            for i, batch in enumerate(order):
-                images = future.result()
-                future = (pool.submit(self._load_images, order[i + 1])
-                          if i + 1 < len(order) else None)
-                yield self.step.shard_batch(images, batch.tokens,
-                                            batch.lengths)
+    def _load_chunk(self, chunk: list[Batch]) -> tuple:
+        """Host arrays for K stacked batches: (K,B,224,224,3) u8 + tokens."""
+        return (np.stack([self._load_images(b) for b in chunk]),
+                np.stack([b.tokens for b in chunk]),
+                np.stack([b.lengths for b in chunk]))
+
+    def _prefetched(self, items: list, load, transform):
+        """Decode up to ``prefetch_depth`` items ahead of the device."""
+        with ThreadPoolExecutor(max_workers=self.prefetch_depth) as pool:
+            futures = [pool.submit(load, it)
+                       for it in items[:self.prefetch_depth]]
+            for i in range(len(items)):
+                host = futures[i].result()
+                futures.append(
+                    pool.submit(load, items[i + self.prefetch_depth])
+                    if i + self.prefetch_depth < len(items) else None)
+                yield transform(host)
 
     # --- loops ---
 
@@ -102,12 +118,38 @@ class JointTrainer:
                     log_every: int = 50) -> tuple:
         t0 = time.time()
         seen = 0
-        for i, (images, tokens, lengths) in enumerate(
-                self._device_batches(batches, shuffle_rng)):
+        single = list(iterate_epoch(batches, shuffle_rng))
+        if self.steps_per_dispatch > 1:
+            chunks, tail = chunk_same_shape(
+                batches, self.steps_per_dispatch, shuffle_rng)
+            offset = 0
+            feed = self._prefetched(
+                chunks, self._load_chunk,
+                lambda host: self.step.shard_chunk(*host))
+            for ci, (images_k, tokens_k, lengths_k) in enumerate(feed):
+                params, opt_state, losses = self.step.multi_step(
+                    params, opt_state, images_k, tokens_k, lengths_k,
+                    rng_key, offset)
+                offset += images_k.shape[0]
+                seen += images_k.shape[0] * images_k.shape[1]
+                if log_every and (ci * images_k.shape[0]) % log_every \
+                        < images_k.shape[0]:
+                    self.metrics.log(event="joint_train",
+                                     batch=ci * images_k.shape[0],
+                                     loss=round(float(losses[-1]), 4),
+                                     images_per_sec=round(
+                                         seen / (time.time() - t0), 1))
+            rng_key = jax.random.fold_in(rng_key, offset + 1)
+            single = tail   # per-shape remainders, already shuffled
+        feed = self._prefetched(
+            single, self._load_images,
+            lambda imgs: imgs)   # shard with the batch below
+        for i, (batch, images) in enumerate(zip(single, feed)):
+            dev = self.step.shard_batch(images, batch.tokens, batch.lengths)
             rng_key, step_key = jax.random.split(rng_key)
             params, opt_state, loss = self.step(
-                params, opt_state, images, tokens, lengths, step_key)
-            seen += images.shape[0]
+                params, opt_state, *dev, step_key)
+            seen += dev[0].shape[0]
             if log_every and i % log_every == 0:
                 self.metrics.log(event="joint_train", batch=i,
                                  loss=round(float(loss), 4),
@@ -117,20 +159,19 @@ class JointTrainer:
         return params, opt_state, rng_key
 
     def average_loss(self, params, batches: Sequence[Batch]) -> float:
-        """Mean per-token NLL over a split, images decoded on the fly."""
-        from lrcn_tpu.models import lrcn
+        """Mean per-token NLL over a split, images decoded on the fly.
 
-        @jax.jit
-        def eval_batch(params, images, tokens, lengths):
-            feats = vgg.l1_normalize(vgg.vgg16_fc7_fn(
-                params.cnn, images, compute_dtype=self._compute_dtype))
-            return lrcn.loss_total_count(
-                params.decoder, tokens, lengths, feats, pdrop=0.0,
-                compute_dtype=self._compute_dtype)
-
+        Uses the step's pre-compiled eval program (round-2 advice: a
+        fresh ``@jax.jit`` closure here retraced every validation pass).
+        """
         total, count = 0.0, 0.0
-        for images, tokens, lengths in self._device_batches(batches, None):
-            t, c = eval_batch(params, images, tokens, lengths)
+        order = list(batches)
+        feed = self._prefetched(order, self._load_images, lambda x: x)
+        partials = []
+        for batch, images in zip(order, feed):
+            dev = self.step.shard_batch(images, batch.tokens, batch.lengths)
+            partials.append(self.step.eval_batch(params, *dev))
+        for t, c in partials:   # fetch after every dispatch is queued
             total += float(t)
             count += float(c)
         return total / max(count, 1.0)

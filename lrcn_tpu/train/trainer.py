@@ -28,7 +28,7 @@ import optax
 
 from lrcn_tpu.config import LRCNConfig
 from lrcn_tpu.core.vocab import Vocab
-from lrcn_tpu.data.batcher import Batch, iterate_epoch
+from lrcn_tpu.data.batcher import Batch, chunk_same_shape, iterate_epoch
 from lrcn_tpu.data.feature_store import FeatureStore
 from lrcn_tpu.data.pipeline import prefetch_to_device
 from lrcn_tpu.models import lrcn
@@ -212,30 +212,8 @@ class Trainer:
 
     def _multi_step_chunks(self, batches: Sequence[Batch],
                            rng: np.random.Generator | None):
-        """Same-shape stacks of K batches, plus a single-step tail.
-
-        Ordering divergence from the single-step path (documented): shape
-        groups run one after another (shuffled), batches shuffled WITHIN
-        each group — stacking requires uniform shapes.  The reference
-        itself trains on equal-length batches in shuffled order
-        (lrcn.jl:351), so the curriculum effect is comparable.
-        """
-        k = self.steps_per_dispatch
-        by_shape: dict[tuple, list[Batch]] = {}
-        for b in batches:
-            by_shape.setdefault((b.batch_size, b.padded_len), []).append(b)
-        shapes = list(by_shape)
-        if rng is not None:
-            shapes = [shapes[i] for i in rng.permutation(len(shapes))]
-        chunks, tail = [], []
-        for shape in shapes:
-            group = by_shape[shape]
-            if rng is not None:
-                group = [group[i] for i in rng.permutation(len(group))]
-            split = len(group) - len(group) % k
-            chunks.extend(group[s:s + k] for s in range(0, split, k))
-            tail.extend(group[split:])
-        return chunks, tail
+        """Same-shape stacks of K batches + tail (data/batcher.py)."""
+        return chunk_same_shape(batches, self.steps_per_dispatch, rng)
 
     def _put_batch_arrays(self, *arrays):
         if self._mesh is None:

@@ -273,8 +273,10 @@ def test_train_joint_cli(tmp_path, monkeypatch):
     assert any(k.startswith("decoder/") for k in keys), keys
     assert os.path.exists(os.path.join(ckpt, "average_image.npy"))
 
-    # resume the joint run (restores encoder+decoder+opt state)
+    # resume the joint run (restores encoder+decoder+opt state); scanned
+    # K-steps-per-dispatch exercises the stacked uint8 image path
     assert cli.main(base + ["--loadfile", ckpt,
+                            "--steps-per-dispatch", "2", "--no-remat-cnn",
                             "--savefile", str(tmp_path / "joint2")]) == 0
 
     # decoder-only resume of a joint checkpoint is refused with guidance

@@ -73,6 +73,63 @@ def test_freeze_cnn_keeps_cnn_params():
         np.asarray(jax.tree.leaves({"w": params.decoder["w_out"]})[0]) * 0)
 
 
+def test_multi_step_matches_sequential_steps():
+    """K steps in one scanned dispatch == K single-step dispatches.
+
+    Dropout is 0 in tiny_setup, so the rng plumbing cannot mask a
+    divergence; the sequential reference still uses the exact fold_in
+    keys the scan derives, to keep the test meaningful with dropout.
+    """
+    cfg, step, params, opt_state, (images, tokens, lengths) = tiny_setup()
+    rng = np.random.default_rng(7)
+    images2 = rng.standard_normal(images.shape).astype(np.float32)
+    tokens2 = rng.integers(3, cfg.vocab_size, tokens.shape).astype(np.int32)
+    lengths2 = rng.integers(2, 7, lengths.shape).astype(np.int32)
+    base = jax.random.PRNGKey(11)
+
+    p_seq = jax.tree.map(jnp.copy, params)
+    o_seq = jax.tree.map(jnp.copy, opt_state)
+    seq_losses = []
+    for i, (im, tk, ln) in enumerate([(images, tokens, lengths),
+                                      (images2, tokens2, lengths2)]):
+        dev = step.shard_batch(im, tk, ln)
+        p_seq, o_seq, loss = step(p_seq, o_seq, *dev,
+                                  jax.random.fold_in(base, i))
+        seq_losses.append(float(loss))
+
+    chunk = step.shard_chunk(np.stack([images, images2]),
+                             np.stack([tokens, tokens2]),
+                             np.stack([lengths, lengths2]))
+    p_k, o_k, losses = step.multi_step(params, opt_state, *chunk, base, 0)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+
+
+def test_uint8_feed_matches_host_preprocess():
+    """uint8 pixels + on-device mean-subtract == host float32 preprocess."""
+    cfg, step, params, opt_state, (_, tokens, lengths) = tiny_setup()
+    rng = np.random.default_rng(9)
+    avg = rng.uniform(90.0, 130.0, (224, 224, 3)).astype(np.float32)
+    u8 = rng.integers(0, 256, (8, 224, 224, 3)).astype(np.uint8)
+
+    opt = make_joint_optimizer(cfg)
+    step_avg = JointTrainStep(cfg, opt, average_image=avg)
+    dev = step_avg.shard_batch(u8, tokens, lengths)
+    assert dev[0].dtype == jnp.uint8   # the wire format stays uint8
+    t_dev, c_dev = step_avg.eval_batch(params, *dev)
+
+    step_zero = JointTrainStep(cfg, opt)   # zero mean image
+    host = u8.astype(np.float32) - avg     # the old host-side pipeline
+    t_host, c_host = step_zero.eval_batch(
+        params, *step_zero.shard_batch(host, tokens, lengths))
+
+    assert float(c_dev) == float(c_host)
+    np.testing.assert_allclose(float(t_dev), float(t_host), rtol=1e-5)
+
+
 def test_joint_step_on_mesh():
     mesh = make_mesh((8, 1))
     cfg, step, params, opt_state, batch = tiny_setup(mesh=mesh)
