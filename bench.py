@@ -41,10 +41,10 @@ BASELINE_TRAIN_WORDS_PER_SEC = 100_000.0 / 60.0
 def bench_decode() -> dict:
     """Flagship: beam-3 caption generation throughput.
 
-    Measures the production path (``decode/writer.py``): groups of 4
+    Measures the production path (``decode/writer.py``): groups of 16
     batches of 256 images decode inside one scanned dispatch
-    (``beam_search_scan``); per-batch dispatching measures ~16.5k
-    captions/s wall on the same chip.
+    (``beam_search_scan``, writer ``--scan-depth``); per-batch
+    dispatching measures ~16.5k captions/s wall on the same chip.
     """
     from lrcn_tpu.decode.beam import beam_search_scan
     from lrcn_tpu.models import lrcn
@@ -52,7 +52,9 @@ def bench_decode() -> dict:
     cfg = LRCNConfig(hidden=(1000, 1000), embed=1000, vocab_size=8800)
     params = jax.device_put(lrcn.init_params(jax.random.PRNGKey(0), cfg))
 
-    groups, batch, beam, max_words = 4, 256, 3, 20
+    # geometry from the round-3 sweep (BENCH_DETAIL.md): throughput
+    # plateaus at 16 scanned batches/dispatch (24.9k capt/s vs 21.6k at 4)
+    groups, batch, beam, max_words = 16, 256, 3, 20
     rng = np.random.default_rng(0)
     feats = jnp.asarray(
         rng.standard_normal((groups, batch, cfg.cnn_feature_dim)),

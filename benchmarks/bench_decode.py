@@ -25,7 +25,7 @@ print("tokens identical:", np.array_equal(tok_x, tok_p))
 
 # scanned multi-batch dispatch (the flagship configuration; bench.py)
 from lrcn_tpu.decode.beam import beam_search_scan
-G = 4
+G = 16
 stacked = jnp.asarray(rng.standard_normal((G, 256, 4096)), jnp.float32)
 run = lambda: beam_search_scan(params, stacked, beam_width=3, max_words=20)
 np.asarray(run()[0])
