@@ -140,8 +140,14 @@ def test_train_on_mesh_pipelined(synthetic):
 
 
 def test_console_script_entrypoint():
+    # Hermetic: the package may not be pip-installed in the test image, so
+    # point PYTHONPATH at the repo root (cwd=/tmp proves -m works from
+    # anywhere, not just the source directory).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run([sys.executable, "-m", "lrcn_tpu.cli", "--help"],
-                         capture_output=True, text=True, cwd="/tmp")
+                         capture_output=True, text=True, cwd="/tmp", env=env)
     assert out.returncode == 0
     assert "train" in out.stdout and "extract-features" in out.stdout
 
