@@ -190,8 +190,10 @@ def main(argv=None):
         # a transient error; retry ONLY those signatures — deterministic
         # failures must surface on the first attempt, not after 3 silent
         # retries
+        # RESOURCE_EXHAUSTED deliberately NOT listed: an OOM at a fixed
+        # benchmark geometry is deterministic and must fail immediately
         transient = ("INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED",
-                     "RESOURCE_EXHAUSTED", "ABORTED")
+                     "ABORTED")
         for attempt in range(3):
             try:
                 result = BENCHES[name]()

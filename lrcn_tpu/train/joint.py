@@ -25,6 +25,7 @@ step, exposed to users as ``lrcn train --joint``:
 from __future__ import annotations
 
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
@@ -101,13 +102,14 @@ class JointTrainer:
     def _prefetched(self, items: list, load, transform):
         """Decode up to ``prefetch_depth`` items ahead of the device."""
         with ThreadPoolExecutor(max_workers=self.prefetch_depth) as pool:
-            futures = [pool.submit(load, it)
-                       for it in items[:self.prefetch_depth]]
+            futures = deque(pool.submit(load, it)
+                            for it in items[:self.prefetch_depth])
             for i in range(len(items)):
-                host = futures[i].result()
-                futures.append(
-                    pool.submit(load, items[i + self.prefetch_depth])
-                    if i + self.prefetch_depth < len(items) else None)
+                host = futures.popleft().result()   # drop the ref: a kept
+                # future pins its decoded (B,224,224,3) array for the epoch
+                if i + self.prefetch_depth < len(items):
+                    futures.append(
+                        pool.submit(load, items[i + self.prefetch_depth]))
                 yield transform(host)
 
     # --- loops ---
@@ -118,8 +120,9 @@ class JointTrainer:
                     log_every: int = 50) -> tuple:
         t0 = time.time()
         seen = 0
-        single = list(iterate_epoch(batches, shuffle_rng))
-        if self.steps_per_dispatch > 1:
+        if self.steps_per_dispatch == 1:
+            single = list(iterate_epoch(batches, shuffle_rng))
+        else:
             chunks, tail = chunk_same_shape(
                 batches, self.steps_per_dispatch, shuffle_rng)
             offset = 0
@@ -167,11 +170,20 @@ class JointTrainer:
         total, count = 0.0, 0.0
         order = list(batches)
         feed = self._prefetched(order, self._load_images, lambda x: x)
-        partials = []
+        # bound in-flight dispatches: each queued batch pins its uint8
+        # image buffer (19 MB at B=128) in device memory until executed,
+        # so an unbounded queue OOMs a large val split whenever host
+        # decode outpaces the device
+        partials: deque = deque()
+        max_inflight = 2 * self.prefetch_depth
         for batch, images in zip(order, feed):
             dev = self.step.shard_batch(images, batch.tokens, batch.lengths)
             partials.append(self.step.eval_batch(params, *dev))
-        for t, c in partials:   # fetch after every dispatch is queued
+            while len(partials) > max_inflight:
+                t, c = partials.popleft()
+                total += float(t)
+                count += float(c)
+        for t, c in partials:
             total += float(t)
             count += float(c)
         return total / max(count, 1.0)

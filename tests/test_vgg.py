@@ -291,16 +291,30 @@ def test_extract_features_survives_sigkill(tmp_path):
             str(img_dir), "--out", out, "--batch-size", "4",
             "--scan-depth", "2", "--flush-every", "1",
             "--no-normalize", "--compute-dtype", "float32"]
-    child = subprocess.Popen(
-        [sys.executable, "-c",
-         "import sys; from lrcn_tpu.cli import main; "
-         "sys.exit(main(sys.argv[1:]))", *args],
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
-        cwd="/tmp", stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    err_path = tmp_path / "child_stderr.log"
+    with open(err_path, "wb") as err_file:
+        child = subprocess.Popen(
+            [sys.executable, "-c",
+             "import sys; from lrcn_tpu.cli import main; "
+             "sys.exit(main(sys.argv[1:]))", *args],
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": repo_root + os.pathsep
+                 + os.environ.get("PYTHONPATH", "")},
+            cwd="/tmp", stdout=subprocess.DEVNULL, stderr=err_file)
+
+    # a child that dies before the first flush (e.g. import error) must
+    # fail loudly, not time out into an empty-store assertion
+    def _child_died_early():
+        if child.poll() is None:
+            return False
+        raise AssertionError(
+            "extraction child exited rc=%s before any flush:\n%s"
+            % (child.returncode, err_path.read_text()))
     # kill as soon as the first flush lands (any snapshot state counts —
     # the kill may race the atomic swap itself)
     deadline = time.time() + 300
-    while time.time() < deadline and child.poll() is None:
+    while time.time() < deadline and not _child_died_early():
         if any(os.path.exists(os.path.join(p, "meta.json"))
                for p in (out, out + ".tmp", out + ".old")):
             break
