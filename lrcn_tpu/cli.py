@@ -45,6 +45,10 @@ def _add_dataset_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-root", default="data",
                    help="dataset root for the --flickr/--coco defaults "
                         "(layout as written by `lrcn download`)")
+    p.add_argument("--vocab-min-count", type=int, default=5,
+                   help="vocab filter: keep words appearing >= N times "
+                        "(the reference hard-codes 5, tokenizer.jl:30; "
+                        "lower it for small custom datasets)")
 
 
 # the reference's default caption-file locations (lrcn.jl:24-26), relative
@@ -384,7 +388,8 @@ def cmd_train(args) -> int:
                 f"{args.loadfile} is a joint (cnn+decoder) checkpoint; "
                 "resume it with --joint")
 
-    vocab, caption_lists = tokenize(args.datafiles)
+    vocab, caption_lists = tokenize(args.datafiles,
+                                    min_count=args.vocab_min_count)
     # caption_lists: [train, val, test] for Flickr; [train, val] for COCO
     # json pairs (the reference passes train+val json, lrcn.jl:69)
     train_caps = caption_lists[0]
@@ -493,7 +498,8 @@ def _train_joint(args) -> int:
     if not image_paths:
         raise SystemExit(f"no images found in {args.images}")
 
-    vocab, caption_lists = tokenize(args.datafiles)
+    vocab, caption_lists = tokenize(args.datafiles,
+                                    min_count=args.vocab_min_count)
     vgg_params = decoder_params = opt_leaves = None
     average_image = identity_average_image()
     if args.loadfile:
@@ -597,7 +603,8 @@ def cmd_generate(args) -> int:
         # caption split — caption_dicts[3] (Flickr test) / caption_dicts[2]
         # (COCO val), lrcn.jl:132-150 — never from the feature store
         from lrcn_tpu.core.tokenizer import tokenize
-        _, caption_lists = tokenize(args.datafiles)
+        _, caption_lists = tokenize(args.datafiles,
+                                    min_count=args.vocab_min_count)
         if kind == "flickr":
             held_out = caption_lists[2]
         elif len(caption_lists) > 1:

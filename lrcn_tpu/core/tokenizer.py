@@ -167,7 +167,8 @@ def build_vocab(caption_lists: Sequence[Sequence[Caption]],
     return Vocab.from_counts(counts, order, min_count=min_count)
 
 
-def tokenize(data_files: Sequence[str]) -> tuple[Vocab, list[list[Caption]]]:
+def tokenize(data_files: Sequence[str],
+             min_count: int = 5) -> tuple[Vocab, list[list[Caption]]]:
     """Top-level entry mirroring ``Tokenizer.tokenize`` (tokenizer.jl:6-32).
 
     - ``*.token`` file  -> vocab from ALL captions; returns
@@ -175,6 +176,10 @@ def tokenize(data_files: Sequence[str]) -> tuple[Vocab, list[list[Caption]]]:
     - ``*.json`` files  -> one caption list per file; every json file
       contributes to the vocab (the reference passes train AND val json for
       COCO, lrcn.jl:69, and both feed ``get_vocab``, tokenizer.jl:23).
+
+    ``min_count`` relaxes the reference's hard-coded count>=5 vocab filter
+    (tokenizer.jl:30) — on small custom datasets the default maps most
+    content words to unk.
     """
     caption_dicts: list[list[Caption]] = []
     vocab_sources: list[list[Caption]] = []
@@ -193,4 +198,4 @@ def tokenize(data_files: Sequence[str]) -> tuple[Vocab, list[list[Caption]]]:
             caption_dicts.append(caps)
         else:
             raise ValueError(f"invalid caption file: {path}")
-    return build_vocab(vocab_sources), caption_dicts
+    return build_vocab(vocab_sources, min_count=min_count), caption_dicts
