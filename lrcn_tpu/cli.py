@@ -279,6 +279,31 @@ def build_parser() -> argparse.ArgumentParser:
                             "features (reference download_data.sh sources)")
     p.add_argument("dataset", choices=["coco", "flickr", "karpathy"])
     p.add_argument("--root", default="data")
+
+    p = sub.add_parser("serve",
+                       help="HTTP caption service with dynamic batching "
+                            "(new surface — the reference only generates "
+                            "offline)")
+    p.add_argument("--loadfile", required=True)
+    p.add_argument("--features",
+                   help="FeatureStore dir for caption-by-id requests")
+    p.add_argument("--cnn", dest="vgg_model",
+                   help="MatConvNet .mat for caption-by-image requests "
+                        "(optional when --loadfile is a joint checkpoint)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--generate", type=int, default=30, dest="max_words")
+    p.add_argument("--beam_width", type=int, default=3)
+    p.add_argument("--decode-batch", type=int, default=64,
+                   help="compiled decode batch; requests coalesce up to "
+                        "this many per dispatch")
+    p.add_argument("--encode-batch", type=int, default=8,
+                   help="compiled VGG batch for image requests")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="max time the dispatcher waits for stragglers "
+                        "after the first queued request")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
     return parser
 
 
@@ -739,6 +764,63 @@ def cmd_download(args) -> int:
     return 0
 
 
+def make_caption_service(args):
+    """Build the ``CaptionService`` from serve-command args (factored out
+    of ``cmd_serve`` so tests can drive it without binding a port)."""
+    import jax.numpy as jnp
+
+    from lrcn_tpu.data.feature_store import FeatureStore
+    from lrcn_tpu.models.vgg import load_matconvnet
+    from lrcn_tpu.serve import CaptionService
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+    from lrcn_tpu.train.joint import (
+        identity_average_image,
+        is_joint_checkpoint,
+    )
+
+    ckpt = load_checkpoint(args.loadfile)
+    params, vocab, cfg = ckpt["params"], ckpt["vocab"], ckpt["cfg"]
+    vgg_params = avg = None
+    if is_joint_checkpoint(params):
+        vgg_params, params = params["cnn"], params["decoder"]
+        avg_path = os.path.join(args.loadfile, "average_image.npy")
+        avg = (np.load(avg_path) if os.path.exists(avg_path)
+               else identity_average_image())
+    if args.vgg_model:          # an explicit --cnn wins over the checkpoint
+        vgg_params, avg = load_matconvnet(args.vgg_model)
+    store = FeatureStore.load(args.features) if args.features else None
+    if store is None and vgg_params is None:
+        raise SystemExit("lrcn serve: pass --features (caption by id) "
+                         "and/or --cnn / a joint checkpoint (caption by "
+                         "image)")
+    return CaptionService(
+        cfg, params, vocab, store=store, vgg_params=vgg_params,
+        average_image=avg, beam_width=args.beam_width,
+        max_words=args.max_words, decode_batch=args.decode_batch,
+        encode_batch=args.encode_batch, max_wait_ms=args.max_wait_ms,
+        compute_dtype=jnp.dtype(args.compute_dtype))
+
+
+def cmd_serve(args) -> int:
+    from lrcn_tpu.serve import make_server
+
+    service = make_caption_service(args)
+    print("serve: warming up (compiling serving programs)...", flush=True)
+    service.warmup()
+    server = make_server(service, args.host, args.port)
+    host, port = server.server_address[:2]
+    print(f"serve: listening on http://{host}:{port}  "
+          f"(POST /v1/caption, GET /healthz, GET /stats)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        service.close()
+    return 0
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     handlers = {
@@ -750,6 +832,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         "bleu": cmd_bleu,
         "import-karpathy": cmd_import_karpathy,
         "download": cmd_download,
+        "serve": cmd_serve,
     }
     return handlers[args.command](args)
 

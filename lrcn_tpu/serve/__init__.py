@@ -1,0 +1,12 @@
+"""Online serving: dynamic batching + HTTP front-end.
+
+New production-facing surface (the reference only generates offline,
+lrcn.jl:127-160).  ``lrcn serve`` is the CLI entry point.
+"""
+
+from lrcn_tpu.serve.batcher import BatcherStats, DynamicBatcher
+from lrcn_tpu.serve.http import make_server
+from lrcn_tpu.serve.service import CaptionService
+
+__all__ = ["BatcherStats", "CaptionService", "DynamicBatcher",
+           "make_server"]

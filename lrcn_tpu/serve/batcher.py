@@ -1,0 +1,156 @@
+"""Dynamic request batching for online serving.
+
+The TPU's throughput comes from batched dispatches against ONE compiled
+program shape (beam search at B=256 decodes 24k captions/s; batch-1
+decodes ~90/s — BENCH_DETAIL.md).  An online server therefore wants the
+classic dynamic-batching loop: concurrent requests queue up, a single
+dispatcher thread drains up to ``max_batch`` of them (waiting at most
+``max_wait_ms`` for stragglers once the first request arrives), pads the
+batch to the compiled shape, and fans results back out.
+
+One dispatcher thread also serializes device access — JAX dispatch is
+not free-threaded, and interleaving dispatches from request threads
+would destroy the very batching this exists to create.
+
+The reference has no serving story (generation is an offline loop,
+lrcn.jl:127-160); this subsystem is new surface for production use.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+
+@dataclass
+class BatcherStats:
+    """Counters a dispatcher thread updates and /stats reports."""
+
+    requests: int = 0
+    batches: int = 0
+    items: int = 0                      # items across all batches
+    errors: int = 0
+    latencies_ms: list = field(default_factory=list)   # bounded window
+
+    _WINDOW = 2048
+
+    def record_batch(self, n_items: int, latencies_ms: Sequence[float]
+                     ) -> None:
+        self.batches += 1
+        self.items += n_items
+        self.latencies_ms.extend(latencies_ms)
+        if len(self.latencies_ms) > self._WINDOW:
+            del self.latencies_ms[:len(self.latencies_ms) - self._WINDOW]
+
+    def snapshot(self) -> dict:
+        lat = sorted(self.latencies_ms)
+
+        def pct(p: float) -> float:
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) \
+                if lat else 0.0
+
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "mean_batch_size": round(self.items / self.batches, 2)
+            if self.batches else 0.0,
+            "errors": self.errors,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p99": pct(0.99),
+        }
+
+
+class DynamicBatcher:
+    """Coalesce concurrent ``submit`` calls into batched ``fn`` calls.
+
+    ``fn(items) -> results`` runs on the single dispatcher thread with
+    ``1 <= len(items) <= max_batch``; ``results`` must align 1:1 with
+    ``items``.  ``submit`` returns a ``concurrent.futures.Future``.
+    """
+
+    def __init__(self, fn: Callable[[list], list], *, max_batch: int,
+                 max_wait_ms: float = 5.0, name: str = "batcher"):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.fn = fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.name = name
+        self.stats = BatcherStats()
+        self._queue: queue.Queue = queue.Queue()
+        self._closed = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name=f"lrcn-{name}", daemon=True)
+        self._thread.start()
+
+    # --- client side ---
+
+    def submit(self, item) -> Future:
+        if self._closed.is_set():
+            raise RuntimeError(f"{self.name} is closed")
+        fut: Future = Future()
+        self._queue.put((item, fut, time.monotonic()))
+        self.stats.requests += 1
+        return fut
+
+    def close(self, timeout: float = 5.0) -> None:
+        self._closed.set()
+        self._queue.put(None)           # wake the dispatcher
+        self._thread.join(timeout)
+
+    # --- dispatcher thread ---
+
+    def _drain(self) -> list[tuple]:
+        """Block for the first request, then gather stragglers."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self) -> None:
+        while not self._closed.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            items = [b[0] for b in batch]
+            try:
+                results = self.fn(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"{self.name}: fn returned {len(results)} results "
+                        f"for {len(items)} items")
+            except Exception as e:          # fan the failure out, keep serving
+                self.stats.errors += len(batch)
+                for _, fut, _ in batch:
+                    fut.set_exception(e)
+                continue
+            done = time.monotonic()
+            for (_, fut, _), res in zip(batch, results):
+                fut.set_result(res)
+            self.stats.record_batch(
+                len(batch), [(done - t0) * 1e3 for _, _, t0 in batch])
+        # drain anything queued after close
+        while True:
+            try:
+                entry = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if entry is not None:
+                entry[1].set_exception(RuntimeError(f"{self.name} closed"))

@@ -1,0 +1,90 @@
+"""Minimal HTTP front-end for ``CaptionService`` (stdlib only).
+
+Endpoints:
+
+- ``POST /v1/caption`` — JSON body with ONE of:
+    ``{"id": 123}`` / ``{"ids": [...]}``        feature-store lookup
+    ``{"features": [[...], ...]}``              raw fc7 rows
+    ``{"image_b64": "..."}`` / ``{"images_b64": [...]}``  encoded images
+  Response: ``{"captions": [...]}``.
+- ``GET /healthz`` — liveness + device platform.
+- ``GET /stats``  — per-stage dynamic-batching counters/latencies.
+
+``ThreadingHTTPServer`` gives one thread per connection; all device
+work still funnels through the service's dispatcher threads, so
+concurrent requests COALESCE into batched dispatches (that's the whole
+point — see serve/batcher.py).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+
+from lrcn_tpu.serve.service import CaptionService
+
+
+def make_handler(service: CaptionService):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet default request logging; metrics live in /stats
+        def log_message(self, fmt, *args):   # noqa: ARG002
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "ok": True,
+                    "platform": jax.devices()[0].platform})
+            elif self.path == "/stats":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/caption":
+                self._reply(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                captions = self._dispatch(req)
+            except (KeyError, ValueError, TypeError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:          # batch fn failure
+                self._reply(500, {"error": str(e)})
+            else:
+                self._reply(200, {"captions": captions})
+
+        def _dispatch(self, req: dict) -> list[str]:
+            if "id" in req or "ids" in req:
+                ids = [req["id"]] if "id" in req else req["ids"]
+                return service.caption_ids([int(i) for i in ids])
+            if "features" in req:
+                return service.caption_features(req["features"])
+            if "image_b64" in req or "images_b64" in req:
+                blobs = ([req["image_b64"]] if "image_b64" in req
+                         else req["images_b64"])
+                return service.caption_image_bytes(
+                    [base64.b64decode(b) for b in blobs])
+            raise ValueError(
+                "body needs one of: id/ids, features, image_b64/images_b64")
+
+    return Handler
+
+
+def make_server(service: CaptionService, host: str = "0.0.0.0",
+                port: int = 8000) -> ThreadingHTTPServer:
+    """Bind and return the server (``.serve_forever()`` to run;
+    ``port=0`` picks a free port — see ``server.server_address``)."""
+    return ThreadingHTTPServer((host, port), make_handler(service))

@@ -1,0 +1,252 @@
+"""Online serving subsystem: dynamic batching + HTTP front-end.
+
+New surface beyond the reference (which only generates offline,
+lrcn.jl:127-160): requests must coalesce into fixed-shape batched
+dispatches and produce exactly the captions the offline decoder would.
+"""
+
+import base64
+import http.client
+import io
+import json
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lrcn_tpu.config import LRCNConfig
+from lrcn_tpu.core.vocab import Vocab
+from lrcn_tpu.data.feature_store import FeatureStore
+from lrcn_tpu.decode.beam import beam_search
+from lrcn_tpu.decode.writer import caption_to_line
+from lrcn_tpu.models import lrcn
+from lrcn_tpu.serve import CaptionService, DynamicBatcher, make_server
+
+import jax
+
+
+# --- DynamicBatcher unit tests -----------------------------------------
+
+
+def test_batcher_coalesces_concurrent_requests():
+    seen_batches = []
+
+    def fn(items):
+        seen_batches.append(len(items))
+        time.sleep(0.01)            # give stragglers time to queue
+        return [x * 2 for x in items]
+
+    b = DynamicBatcher(fn, max_batch=8, max_wait_ms=50.0)
+    try:
+        futs = []
+        threads = [threading.Thread(
+            target=lambda i=i: futs.append((i, b.submit(i))))
+            for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        results = {i: f.result(timeout=5) for i, f in futs}
+        assert results == {i: i * 2 for i in range(16)}
+        snap = b.stats.snapshot()
+        assert snap["requests"] == 16
+        # coalescing actually happened (16 sequential dispatches would
+        # mean the batcher is broken)
+        assert snap["batches"] < 16, seen_batches
+        assert max(seen_batches) > 1
+        assert all(n <= 8 for n in seen_batches)
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_errors_and_keeps_serving():
+    def fn(items):
+        if any(x < 0 for x in items):
+            raise ValueError("negative")
+        return items
+
+    b = DynamicBatcher(fn, max_batch=1, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError):
+            b.submit(-1).result(timeout=5)
+        assert b.submit(7).result(timeout=5) == 7
+        assert b.stats.errors == 1
+    finally:
+        b.close()
+
+
+def test_batcher_result_count_mismatch_is_an_error():
+    b = DynamicBatcher(lambda items: [], max_batch=4, max_wait_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="0 results"):
+            b.submit(1).result(timeout=5)
+    finally:
+        b.close()
+
+
+# --- CaptionService ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                     cnn_feature_dim=8)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, vocab, params
+
+
+def _make_store(cfg, n=12):
+    rng = np.random.default_rng(5)
+    feats = {100 + i: np.abs(rng.standard_normal(
+        cfg.cnn_feature_dim)).astype(np.float32) for i in range(n)}
+    feats = {k: v / v.sum() for k, v in feats.items()}
+    return FeatureStore.from_dict(feats, normalized=True)
+
+
+def test_service_matches_offline_decoder(tiny_model):
+    cfg, vocab, params = tiny_model
+    store = _make_store(cfg)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                        max_words=8, decode_batch=4,
+                        compute_dtype=jnp.float32)
+    try:
+        svc.warmup()
+        ids = store.ids()[:6]
+        served = svc.caption_ids(ids)
+        # offline ground truth: the same jitted beam search, full batch
+        feats = jnp.asarray(np.stack([store.get(i) for i in ids]))
+        tokens, _ = beam_search(params, feats, beam_width=2, max_words=8,
+                                compute_dtype=jnp.float32)
+        offline = [caption_to_line(np.asarray(tokens)[i], vocab)
+                   for i in range(len(ids))]
+        assert served == offline
+    finally:
+        svc.close()
+
+
+def test_service_concurrent_requests_batch(tiny_model):
+    cfg, vocab, params = tiny_model
+    store = _make_store(cfg)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                        max_words=8, decode_batch=8, max_wait_ms=100.0,
+                        compute_dtype=jnp.float32)
+    try:
+        svc.warmup()
+        results = {}
+
+        def client(i):
+            results[i] = svc.caption_ids([100 + (i % 12)])[0]
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 24
+        stats = svc.stats()["decode"]
+        # 24 concurrent requests (+1 warmup) must coalesce
+        assert stats["batches"] < 25, stats
+        assert stats["mean_batch_size"] > 1.0, stats
+    finally:
+        svc.close()
+
+
+# --- HTTP end-to-end ---------------------------------------------------
+
+
+def _request(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    try:
+        conn.request(method, path,
+                     body=json.dumps(body) if body is not None else None,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read() or b"{}")
+    finally:
+        conn.close()
+
+
+def test_http_server_end_to_end(tiny_model):
+    cfg, vocab, params = tiny_model
+    store = _make_store(cfg)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                        max_words=8, decode_batch=4,
+                        compute_dtype=jnp.float32)
+    server = make_server(svc, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        svc.warmup()
+        status, health = _request(port, "GET", "/healthz")
+        assert status == 200 and health["ok"]
+
+        status, out = _request(port, "POST", "/v1/caption", {"id": 100})
+        assert status == 200
+        assert out["captions"] == svc.caption_ids([100])
+
+        status, out = _request(port, "POST", "/v1/caption",
+                               {"ids": [101, 102]})
+        assert status == 200 and len(out["captions"]) == 2
+
+        feats = store.get(103).tolist()
+        status, out = _request(port, "POST", "/v1/caption",
+                               {"features": [feats]})
+        assert status == 200
+        assert out["captions"] == svc.caption_ids([103])
+
+        # bad requests are 4xx with an error body, and the server survives
+        status, out = _request(port, "POST", "/v1/caption", {"wrong": 1})
+        assert status == 400 and "error" in out
+        status, out = _request(port, "POST", "/v1/caption",
+                               {"id": 999999})
+        assert status in (400, 500) and "error" in out
+        status, _ = _request(port, "GET", "/nope")
+        assert status == 404
+
+        status, stats = _request(port, "GET", "/stats")
+        assert status == 200 and stats["decode"]["requests"] >= 5
+    finally:
+        server.shutdown()
+        server.server_close()
+        svc.close()
+
+
+def test_http_image_path_with_tiny_vgg(tiny_model, monkeypatch):
+    """caption-by-image through the encode stage (width-scaled VGG)."""
+    from PIL import Image
+
+    from lrcn_tpu.models import vgg as vgg_mod
+
+    cfg, vocab, params = tiny_model
+    vgg_params = vgg_mod.init_vgg_params(
+        jax.random.PRNGKey(1), width_multiplier=0.05,
+        fc_dim=cfg.cnn_feature_dim)
+    svc = CaptionService(cfg, params, vocab, vgg_params=vgg_params,
+                        beam_width=2, max_words=8, decode_batch=4,
+                        encode_batch=2, compute_dtype=jnp.float32)
+    server = make_server(svc, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(9)
+        img = Image.fromarray(
+            rng.integers(0, 255, (240, 260, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        blob = base64.b64encode(buf.getvalue()).decode()
+        status, out = _request(port, "POST", "/v1/caption",
+                               {"image_b64": blob})
+        assert status == 200
+        assert len(out["captions"]) == 1
+        assert out["captions"][0].endswith(".")
+        stats = svc.stats()
+        assert stats["encode"]["requests"] == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+        svc.close()
