@@ -83,15 +83,17 @@ def bench_decode() -> dict:
 def bench_vgg() -> dict:
     """VGG-16 fc7 feature extraction throughput (wall clock).
 
-    One scanned dispatch of 8x256 images (models/vgg.py:vgg16_fc7_scan),
+    One scanned dispatch of 16x256 images (models/vgg.py:vgg16_fc7_scan),
     scalar-checksum sync — the per-dispatch host overhead that a per-batch
-    loop pays (~3.5 ms/batch here) is what the scan amortizes.
+    loop pays (~3.5 ms/batch here) is what the scan amortizes.  Geometry
+    from the round-3 sweep: B=256 is the device sweet spot and K=16 edges
+    K=8 by ~1.5% (BENCH_DETAIL.md).
     """
     from lrcn_tpu.models import vgg
 
     params = jax.device_put(vgg.init_vgg_params(jax.random.PRNGKey(0)))
     rng = np.random.default_rng(0)
-    k, b = 8, 256
+    k, b = 16, 256
     stacked = jnp.asarray(
         rng.standard_normal((k, b, 224, 224, 3)), jnp.bfloat16)
 
