@@ -302,6 +302,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="max time the dispatcher waits for stragglers "
                         "after the first queued request")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="shard each batch over N chips (data-parallel "
+                        "decode + encode; batch sizes must be divisible "
+                        "by N)")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     return parser
@@ -793,12 +797,16 @@ def make_caption_service(args):
         raise SystemExit("lrcn serve: pass --features (caption by id) "
                          "and/or --cnn / a joint checkpoint (caption by "
                          "image)")
+    mesh = None
+    if getattr(args, "mesh", None):
+        from lrcn_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh((args.mesh, 1))
     return CaptionService(
         cfg, params, vocab, store=store, vgg_params=vgg_params,
         average_image=avg, beam_width=args.beam_width,
         max_words=args.max_words, decode_batch=args.decode_batch,
         encode_batch=args.encode_batch, max_wait_ms=args.max_wait_ms,
-        compute_dtype=jnp.dtype(args.compute_dtype))
+        compute_dtype=jnp.dtype(args.compute_dtype), mesh=mesh)
 
 
 def cmd_serve(args) -> int:

@@ -21,6 +21,7 @@ surface.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -33,6 +34,23 @@ from lrcn_tpu.data.feature_store import FeatureStore, l1_normalize
 from lrcn_tpu.decode.beam import beam_search, greedy_search
 from lrcn_tpu.decode.writer import caption_to_line
 from lrcn_tpu.serve.batcher import DynamicBatcher
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "max_words",
+                                             "compute_dtype"))
+def _rows_search(params, table: jax.Array, idx: jax.Array, *,
+                 beam_width: int, max_words: int, compute_dtype):
+    """Gather table rows ON DEVICE, then search — one dispatch, int32 in.
+
+    Bit-identical to searching host-gathered float32 rows (the gather is
+    exact and the search is the same jitted program).
+    """
+    feats = jnp.take(table, idx, axis=0)
+    if beam_width == 1:
+        return greedy_search(params, feats, max_words=max_words,
+                             compute_dtype=compute_dtype)
+    return beam_search(params, feats, beam_width=beam_width,
+                       max_words=max_words, compute_dtype=compute_dtype)
 
 
 class CaptionService:
@@ -50,7 +68,8 @@ class CaptionService:
                  beam_width: int = 3, max_words: int = 30,
                  decode_batch: int = 64, encode_batch: int = 8,
                  max_wait_ms: float = 5.0,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, mesh=None,
+                 resident_store: bool = True):
         self.cfg = cfg
         self.params = params
         self.vocab = vocab
@@ -59,29 +78,79 @@ class CaptionService:
         self.max_words = max_words
         self.decode_batch = decode_batch
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if decode_batch % n_data or encode_batch % n_data:
+                raise ValueError(
+                    f"decode_batch={decode_batch} / encode_batch="
+                    f"{encode_batch} must be divisible by the mesh's "
+                    f"data axis ({n_data}) so every chip gets equal "
+                    f"batch rows")
         self._decode = DynamicBatcher(
-            self._decode_fn, max_batch=decode_batch,
-            max_wait_ms=max_wait_ms, name="decode")
+            self._decode_fn, finalize=self._decode_finalize,
+            max_batch=decode_batch, max_wait_ms=max_wait_ms,
+            name="decode")
+        # HBM-resident feature table: caption-by-id requests then ship
+        # int32 row indices (4 B each) instead of fc7 rows (16 KB each)
+        # and the gather runs on device — the same optimization that
+        # fixed the trainer's feed (BENCH_DETAIL.md).  The table upload
+        # happens once, here.
+        self._table = self._rows_batcher = None
+        if store is not None and resident_store and len(store):
+            table = store.table()
+            if not store.normalized:
+                table = l1_normalize(table)
+            dev_table = jnp.asarray(table, jnp.float32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                dev_table = jax.device_put(
+                    dev_table, NamedSharding(mesh, P()))
+            self._table = dev_table
+            self._rows_batcher = DynamicBatcher(
+                self._decode_rows_fn, finalize=self._decode_finalize,
+                max_batch=decode_batch, max_wait_ms=max_wait_ms,
+                name="decode_ids")
         self._encode = None
         if vgg_params is not None:
             from lrcn_tpu.train.joint import identity_average_image
+            if mesh is not None:    # replicate the encoder over the mesh
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                vgg_params = jax.device_put(
+                    vgg_params, NamedSharding(mesh, P()))
             self.vgg_params = vgg_params
             self.average_image = (
                 np.asarray(average_image, np.float32)
                 if average_image is not None else identity_average_image())
             self._encode = DynamicBatcher(
-                self._encode_fn, max_batch=encode_batch,
-                max_wait_ms=max_wait_ms, name="encode")
+                self._encode_fn, finalize=self._encode_finalize,
+                max_batch=encode_batch, max_wait_ms=max_wait_ms,
+                name="encode")
 
     # --- stage fns (dispatcher threads) ---
 
-    def _decode_fn(self, feats: list[np.ndarray]) -> list[str]:
-        """N fc7 rows -> N caption lines, padded to the compiled batch."""
+    def _decode_fn(self, feats: list[np.ndarray]):
+        """ISSUE a padded beam dispatch; returns (n, device tokens).
+
+        Does NOT block on the device — the collector thread's
+        ``_decode_finalize`` fetches, so the dispatcher can coalesce and
+        issue the next batch while this one runs (serve/batcher.py).
+        """
         n = len(feats)
         batch = np.zeros((self.decode_batch, feats[0].shape[-1]),
                          np.float32)
         batch[:n] = np.asarray(feats, np.float32)
-        if self.beam_width == 1:
+        if self.compute_dtype == jnp.bfloat16 and self.mesh is None:
+            # the search casts features to bf16 before first use, so a
+            # bf16 upload is bit-identical and ships half the bytes
+            batch = batch.astype(jnp.bfloat16)
+        if self.mesh is not None:
+            from lrcn_tpu.parallel.decode import sharded_beam_search
+            tokens, _ = sharded_beam_search(
+                self.params, batch, self.mesh,
+                beam_width=self.beam_width, max_words=self.max_words,
+                compute_dtype=self.compute_dtype)
+        elif self.beam_width == 1:
             tokens, _ = greedy_search(self.params, jnp.asarray(batch),
                                       max_words=self.max_words,
                                       compute_dtype=self.compute_dtype)
@@ -90,11 +159,36 @@ class CaptionService:
                                     beam_width=self.beam_width,
                                     max_words=self.max_words,
                                     compute_dtype=self.compute_dtype)
-        tokens = np.asarray(tokens)
+        return n, tokens
+
+    def _decode_finalize(self, raw) -> list[str]:
+        n, tokens = raw
+        tokens = np.asarray(tokens)     # blocks for the device here
         return [caption_to_line(tokens[i], self.vocab) for i in range(n)]
 
-    def _encode_fn(self, images: list[np.ndarray]) -> list[np.ndarray]:
-        """N (224,224,3) uint8 images -> N L1-normalized fc7 rows."""
+    def _decode_rows_fn(self, rows: list[int]):
+        """ISSUE a beam dispatch over HBM-resident table rows.
+
+        The host ships ``decode_batch`` int32 indices; the feature
+        gather happens inside the jitted program against the table
+        uploaded at construction.
+        """
+        n = len(rows)
+        idx = np.zeros((self.decode_batch,), np.int32)
+        idx[:n] = rows
+        dev_idx = jnp.asarray(idx)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dev_idx = jax.device_put(
+                dev_idx, NamedSharding(self.mesh, P("data")))
+        tokens, _ = _rows_search(
+            self.params, self._table, dev_idx,
+            beam_width=self.beam_width, max_words=self.max_words,
+            compute_dtype=self.compute_dtype)
+        return n, tokens
+
+    def _encode_fn(self, images: list[np.ndarray]):
+        """ISSUE a padded VGG dispatch; returns (n, device fc7 rows)."""
         from lrcn_tpu.data.images import normalize_batch
         from lrcn_tpu.models.vgg import vgg16_fc7
         from lrcn_tpu.models.vgg import l1_normalize as l1_dev
@@ -103,10 +197,19 @@ class CaptionService:
         pad = self._encode.max_batch
         batch = np.zeros((pad, 224, 224, 3), np.uint8)
         batch[:n] = np.asarray(images, np.uint8)
-        pixels = normalize_batch(jnp.asarray(batch),
+        dev_batch = jnp.asarray(batch)
+        if self.mesh is not None:   # batch-shard the encoder over chips
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dev_batch = jax.device_put(
+                dev_batch, NamedSharding(self.mesh, P("data")))
+        pixels = normalize_batch(dev_batch,
                                  jnp.asarray(self.average_image))
         feats = l1_dev(vgg16_fc7(self.vgg_params, pixels,
                                  self.compute_dtype))
+        return n, feats
+
+    def _encode_finalize(self, raw) -> list[np.ndarray]:
+        n, feats = raw
         return list(np.asarray(feats, np.float32)[:n])
 
     # --- request side ---
@@ -119,10 +222,14 @@ class CaptionService:
     def caption_ids(self, image_ids: Sequence[int]) -> list[str]:
         if self.store is None:
             raise RuntimeError("service has no feature store")
-        rows = [self.store.get(int(i)) for i in image_ids]
+        if self._rows_batcher is not None:
+            rows = self.store.rows(image_ids)   # KeyError on unknown ids
+            futs = [self._rows_batcher.submit(int(r)) for r in rows]
+            return [f.result() for f in futs]
+        feats = [self.store.get(int(i)) for i in image_ids]
         if not self.store.normalized:
-            rows = [l1_normalize(r[None])[0] for r in rows]
-        return self.caption_features(rows)
+            feats = [l1_normalize(r[None])[0] for r in feats]
+        return self.caption_features(feats)
 
     def caption_images(self, images: Sequence[np.ndarray]) -> list[str]:
         """(224,224,3) uint8 arrays -> captions (encode stage + decode)."""
@@ -152,16 +259,22 @@ class CaptionService:
         """Compile every serving program before taking traffic."""
         self.caption_features(
             [np.zeros(self.cfg.cnn_feature_dim, np.float32)])
+        if self._rows_batcher is not None:
+            self._rows_batcher.submit(0).result()
         if self._encode is not None:
             self.caption_images([np.zeros((224, 224, 3), np.uint8)])
 
     def stats(self) -> dict:
         out = {"decode": self._decode.stats.snapshot()}
+        if self._rows_batcher is not None:
+            out["decode_ids"] = self._rows_batcher.stats.snapshot()
         if self._encode is not None:
             out["encode"] = self._encode.stats.snapshot()
         return out
 
     def close(self) -> None:
         self._decode.close()
+        if self._rows_batcher is not None:
+            self._rows_batcher.close()
         if self._encode is not None:
             self._encode.close()

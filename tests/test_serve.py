@@ -123,6 +123,16 @@ def test_service_matches_offline_decoder(tiny_model):
         offline = [caption_to_line(np.asarray(tokens)[i], vocab)
                    for i in range(len(ids))]
         assert served == offline
+        # the HBM-resident-table path must be bit-identical to host
+        # gather + upload
+        plain = CaptionService(cfg, params, vocab, store=store,
+                              beam_width=2, max_words=8, decode_batch=4,
+                              compute_dtype=jnp.float32,
+                              resident_store=False)
+        try:
+            assert plain.caption_ids(ids) == served
+        finally:
+            plain.close()
     finally:
         svc.close()
 
@@ -147,12 +157,39 @@ def test_service_concurrent_requests_batch(tiny_model):
         for t in threads:
             t.join()
         assert len(results) == 24
-        stats = svc.stats()["decode"]
+        stats = svc.stats()["decode_ids"]   # id requests -> resident stage
         # 24 concurrent requests (+1 warmup) must coalesce
         assert stats["batches"] < 25, stats
         assert stats["mean_batch_size"] > 1.0, stats
     finally:
         svc.close()
+
+
+def test_service_on_mesh_matches_single_device(tiny_model):
+    """Batch-sharded serving over the virtual mesh == single-device."""
+    from lrcn_tpu.parallel.mesh import make_mesh
+
+    cfg, vocab, params = tiny_model
+    store = _make_store(cfg)
+    mesh = make_mesh((4, 1))
+    ids = store.ids()[:8]
+
+    sharded = CaptionService(cfg, params, vocab, store=store, mesh=mesh,
+                            beam_width=2, max_words=8, decode_batch=8,
+                            compute_dtype=jnp.float32)
+    single = CaptionService(cfg, params, vocab, store=store,
+                           beam_width=2, max_words=8, decode_batch=8,
+                           compute_dtype=jnp.float32)
+    try:
+        sharded.warmup()
+        assert sharded.caption_ids(ids) == single.caption_ids(ids)
+    finally:
+        sharded.close()
+        single.close()
+
+    with pytest.raises(ValueError, match="divisible"):
+        CaptionService(cfg, params, vocab, store=store, mesh=mesh,
+                       decode_batch=6, compute_dtype=jnp.float32)
 
 
 # --- HTTP end-to-end ---------------------------------------------------
@@ -209,7 +246,11 @@ def test_http_server_end_to_end(tiny_model):
         assert status == 404
 
         status, stats = _request(port, "GET", "/stats")
-        assert status == 200 and stats["decode"]["requests"] >= 5
+        assert status == 200
+        # id requests ride the HBM-resident-table stage, raw features
+        # the upload stage
+        assert stats["decode_ids"]["requests"] >= 4, stats
+        assert stats["decode"]["requests"] >= 1, stats
     finally:
         server.shutdown()
         server.server_close()
