@@ -306,6 +306,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard each batch over N chips (data-parallel "
                         "decode + encode; batch sizes must be divisible "
                         "by N)")
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="shed load (HTTP 503) when a stage's queue "
+                        "exceeds this depth; default unbounded")
+    p.add_argument("--request-timeout", type=float, default=60.0,
+                   help="seconds a request may wait on the device "
+                        "before HTTP 504")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     return parser
@@ -806,10 +812,14 @@ def make_caption_service(args):
         average_image=avg, beam_width=args.beam_width,
         max_words=args.max_words, decode_batch=args.decode_batch,
         encode_batch=args.encode_batch, max_wait_ms=args.max_wait_ms,
-        compute_dtype=jnp.dtype(args.compute_dtype), mesh=mesh)
+        compute_dtype=jnp.dtype(args.compute_dtype), mesh=mesh,
+        max_queue=getattr(args, "max_queue", None),
+        request_timeout_s=getattr(args, "request_timeout", 60.0))
 
 
 def cmd_serve(args) -> int:
+    import signal
+
     from lrcn_tpu.serve import make_server
 
     service = make_caption_service(args)
@@ -819,10 +829,15 @@ def cmd_serve(args) -> int:
     host, port = server.server_address[:2]
     print(f"serve: listening on http://{host}:{port}  "
           f"(POST /v1/caption, GET /healthz, GET /stats)", flush=True)
+
+    def _graceful(_signum, _frame):     # SIGTERM drains like Ctrl-C
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        print("serve: draining and shutting down", flush=True)
     finally:
         server.server_close()
         service.close()

@@ -26,6 +26,11 @@ from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
 
+class BatcherOverloaded(RuntimeError):
+    """Queue depth exceeded ``max_queue`` — shed load instead of letting
+    latency grow without bound (the HTTP layer maps this to 503)."""
+
+
 @dataclass
 class BatcherStats:
     """Counters a dispatcher thread updates and /stats reports."""
@@ -34,6 +39,7 @@ class BatcherStats:
     batches: int = 0
     items: int = 0                      # items across all batches
     errors: int = 0
+    shed: int = 0                       # rejected by max_queue backpressure
     latencies_ms: list = field(default_factory=list)   # bounded window
 
     _WINDOW = 2048
@@ -59,6 +65,7 @@ class BatcherStats:
             "mean_batch_size": round(self.items / self.batches, 2)
             if self.batches else 0.0,
             "errors": self.errors,
+            "shed": self.shed,
             "latency_ms_p50": pct(0.50),
             "latency_ms_p99": pct(0.99),
         }
@@ -87,13 +94,15 @@ class DynamicBatcher:
 
     def __init__(self, fn: Callable[[list], list], *, max_batch: int,
                  max_wait_ms: float = 5.0, name: str = "batcher",
-                 finalize: Callable | None = None, max_inflight: int = 2):
+                 finalize: Callable | None = None, max_inflight: int = 2,
+                 max_queue: int | None = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.fn = fn
         self.finalize = finalize
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        self.max_queue = max_queue
         self.name = name
         self.stats = BatcherStats()
         self._queue: queue.Queue = queue.Queue()
@@ -114,6 +123,12 @@ class DynamicBatcher:
     def submit(self, item) -> Future:
         if self._closed.is_set():
             raise RuntimeError(f"{self.name} is closed")
+        if self.max_queue is not None \
+                and self._queue.qsize() >= self.max_queue:
+            self.stats.shed += 1
+            raise BatcherOverloaded(
+                f"{self.name}: queue depth {self._queue.qsize()} >= "
+                f"max_queue {self.max_queue}")
         fut: Future = Future()
         self._queue.put((item, fut, time.monotonic()))
         self.stats.requests += 1

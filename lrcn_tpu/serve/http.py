@@ -10,6 +10,10 @@ Endpoints:
 - ``GET /healthz`` — liveness + device platform.
 - ``GET /stats``  — per-stage dynamic-batching counters/latencies.
 
+Errors map to proper statuses: malformed body 400, backpressure
+(``max_queue`` exceeded) 503, device-wait timeout 504, stage failure
+500 — the server keeps serving through all of them.
+
 ``ThreadingHTTPServer`` gives one thread per connection; all device
 work still funnels through the service's dispatcher threads, so
 concurrent requests COALESCE into batched dispatches (that's the whole
@@ -20,10 +24,12 @@ from __future__ import annotations
 
 import base64
 import json
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
 
+from lrcn_tpu.serve.batcher import BatcherOverloaded
 from lrcn_tpu.serve.service import CaptionService
 
 
@@ -59,6 +65,11 @@ def make_handler(service: CaptionService):
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 captions = self._dispatch(req)
+            except BatcherOverloaded as e:  # backpressure: shed load
+                self._reply(503, {"error": str(e)})
+            except FuturesTimeout:
+                self._reply(504, {"error": "request timed out waiting "
+                                           "for the device"})
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:          # batch fn failure

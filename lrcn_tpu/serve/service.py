@@ -69,7 +69,9 @@ class CaptionService:
                  decode_batch: int = 64, encode_batch: int = 8,
                  max_wait_ms: float = 5.0,
                  compute_dtype=jnp.bfloat16, mesh=None,
-                 resident_store: bool = True):
+                 resident_store: bool = True,
+                 max_queue: int | None = None,
+                 request_timeout_s: float = 60.0):
         self.cfg = cfg
         self.params = params
         self.vocab = vocab
@@ -78,6 +80,7 @@ class CaptionService:
         self.max_words = max_words
         self.decode_batch = decode_batch
         self.compute_dtype = compute_dtype
+        self.request_timeout_s = request_timeout_s
         self.mesh = mesh
         if mesh is not None:
             n_data = mesh.shape["data"]
@@ -90,7 +93,7 @@ class CaptionService:
         self._decode = DynamicBatcher(
             self._decode_fn, finalize=self._decode_finalize,
             max_batch=decode_batch, max_wait_ms=max_wait_ms,
-            name="decode")
+            name="decode", max_queue=max_queue)
         # HBM-resident feature table: caption-by-id requests then ship
         # int32 row indices (4 B each) instead of fc7 rows (16 KB each)
         # and the gather runs on device — the same optimization that
@@ -110,7 +113,7 @@ class CaptionService:
             self._rows_batcher = DynamicBatcher(
                 self._decode_rows_fn, finalize=self._decode_finalize,
                 max_batch=decode_batch, max_wait_ms=max_wait_ms,
-                name="decode_ids")
+                name="decode_ids", max_queue=max_queue)
         self._encode = None
         if vgg_params is not None:
             from lrcn_tpu.train.joint import identity_average_image
@@ -125,7 +128,7 @@ class CaptionService:
             self._encode = DynamicBatcher(
                 self._encode_fn, finalize=self._encode_finalize,
                 max_batch=encode_batch, max_wait_ms=max_wait_ms,
-                name="encode")
+                name="encode", max_queue=max_queue)
 
     # --- stage fns (dispatcher threads) ---
 
@@ -217,7 +220,7 @@ class CaptionService:
     def caption_features(self, feats: Sequence[np.ndarray]) -> list[str]:
         futs = [self._decode.submit(np.asarray(f, np.float32).reshape(-1))
                 for f in feats]
-        return [f.result() for f in futs]
+        return [f.result(timeout=self.request_timeout_s) for f in futs]
 
     def caption_ids(self, image_ids: Sequence[int]) -> list[str]:
         if self.store is None:
@@ -225,7 +228,8 @@ class CaptionService:
         if self._rows_batcher is not None:
             rows = self.store.rows(image_ids)   # KeyError on unknown ids
             futs = [self._rows_batcher.submit(int(r)) for r in rows]
-            return [f.result() for f in futs]
+            return [f.result(timeout=self.request_timeout_s)
+                    for f in futs]
         feats = [self.store.get(int(i)) for i in image_ids]
         if not self.store.normalized:
             feats = [l1_normalize(r[None])[0] for r in feats]
@@ -237,7 +241,8 @@ class CaptionService:
             raise RuntimeError("service has no encoder (pass vgg_params)")
         feat_futs = [self._encode.submit(np.asarray(img, np.uint8))
                      for img in images]
-        return self.caption_features([f.result() for f in feat_futs])
+        return self.caption_features(
+            [f.result(timeout=self.request_timeout_s) for f in feat_futs])
 
     def caption_image_bytes(self, blobs: Sequence[bytes]) -> list[str]:
         """Raw encoded image bytes (JPEG/PNG) -> captions."""

@@ -77,6 +77,32 @@ def test_batcher_propagates_errors_and_keeps_serving():
         b.close()
 
 
+def test_batcher_backpressure_sheds_load():
+    from lrcn_tpu.serve.batcher import BatcherOverloaded
+
+    release = threading.Event()
+    entered = threading.Event()
+
+    def slow(items):
+        entered.set()
+        release.wait(5)
+        return items
+
+    b = DynamicBatcher(slow, max_batch=1, max_wait_ms=1.0, max_queue=2)
+    try:
+        f0 = b.submit(0)
+        assert entered.wait(5)                   # item 0 now in flight
+        futs = [f0, b.submit(1), b.submit(2)]    # queue == max_queue
+        with pytest.raises(BatcherOverloaded):
+            b.submit(99)
+        assert b.stats.shed == 1
+        release.set()
+        assert [f.result(timeout=5) for f in futs] == [0, 1, 2]
+    finally:
+        release.set()
+        b.close()
+
+
 def test_batcher_result_count_mismatch_is_an_error():
     b = DynamicBatcher(lambda items: [], max_batch=4, max_wait_ms=1.0)
     try:
@@ -255,6 +281,42 @@ def test_http_server_end_to_end(tiny_model):
         server.shutdown()
         server.server_close()
         svc.close()
+
+
+def test_http_backpressure_and_timeout_statuses():
+    """503 on shed load, 504 on device-wait timeout — server survives.
+
+    Uses a stub service (make_handler is duck-typed) so the error paths
+    trigger deterministically without a slow device.
+    """
+    from concurrent.futures import TimeoutError as FuturesTimeout
+
+    from lrcn_tpu.serve.batcher import BatcherOverloaded
+
+    class StubService:
+        def caption_ids(self, ids):
+            if ids[0] == 1:
+                raise BatcherOverloaded("decode: queue full")
+            if ids[0] == 2:
+                raise FuturesTimeout()
+            return ["a caption ."] * len(ids)
+
+        def stats(self):
+            return {"decode": {}}
+
+    server = make_server(StubService(), host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, out = _request(port, "POST", "/v1/caption", {"id": 1})
+        assert status == 503 and "queue full" in out["error"]
+        status, out = _request(port, "POST", "/v1/caption", {"id": 2})
+        assert status == 504 and "timed out" in out["error"]
+        status, out = _request(port, "POST", "/v1/caption", {"id": 3})
+        assert status == 200 and out["captions"] == ["a caption ."]
+    finally:
+        server.shutdown()
+        server.server_close()
 
 
 def test_http_image_path_with_tiny_vgg(tiny_model, monkeypatch):
