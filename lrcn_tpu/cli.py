@@ -142,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the vocab tensor-parallel axis; requires "
                         "hidden1 == hidden2 == embed, even")
     p.add_argument("--metrics", help="JSONL metrics file")
+    p.add_argument("--ckpt-every", type=int, default=None,
+                   help="also checkpoint every N dispatches within an "
+                        "epoch (crash-safe mid-epoch resume; the "
+                        "reference only saves per epoch, lrcn.jl:228)")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="run N optimizer steps per device dispatch "
                         "(scanned same-shape batches; feature table "
@@ -488,7 +492,9 @@ def cmd_train(args) -> int:
 
     trainer.fit(params, opt_state, train_batches, val_batches, store,
                 val_store, jax.random.PRNGKey(max(cfg.seed, 0) + 1),
-                savefile=args.savefile, bestfile=args.bestfile)
+                savefile=args.savefile, bestfile=args.bestfile,
+                ckpt_every=args.ckpt_every,
+                resume_position=(ckpt or {}).get("position"))
     metrics.close()
     return 0
 

@@ -58,7 +58,10 @@ def _unflatten_params(flat: dict[str, np.ndarray]) -> dict:
 
 def save_checkpoint(path: str, params: Any, vocab: Vocab, cfg: LRCNConfig,
                     opt_state: Any = None, step: int = 0,
-                    epoch: int = 0) -> None:
+                    epoch: int = 0, position: dict | None = None) -> None:
+    """``position``: mid-epoch resume marker written by step-interval
+    checkpointing ({epoch, dispatch, shuffle_state, epoch_key}); absent
+    on epoch-complete saves, which is what marks the epoch finished."""
     os.makedirs(path, exist_ok=True)
     np.savez(os.path.join(path, "params.npz"), **_flatten_params(params))
     if opt_state is not None:
@@ -68,6 +71,8 @@ def save_checkpoint(path: str, params: Any, vocab: Vocab, cfg: LRCNConfig,
     vocab.save(os.path.join(path, "vocab.json"))
     meta = dataclasses.asdict(cfg)
     meta.update(step=step, epoch=epoch)
+    if position is not None:
+        meta["position"] = position
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(meta, f, default=str)
 
@@ -86,6 +91,7 @@ def load_checkpoint(path: str) -> dict[str, Any]:
         meta = json.load(f)
     step = meta.pop("step", 0)
     epoch = meta.pop("epoch", 0)
+    position = meta.pop("position", None)
     field_names = {f.name for f in dataclasses.fields(LRCNConfig)}
     cfg = LRCNConfig(**{k: v for k, v in meta.items() if k in field_names})
     opt_leaves = None
@@ -94,7 +100,8 @@ def load_checkpoint(path: str) -> dict[str, Any]:
         with np.load(opt_path) as z:
             opt_leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
     return {"params": params, "vocab": vocab, "cfg": cfg, "step": step,
-            "epoch": epoch, "opt_leaves": opt_leaves}
+            "epoch": epoch, "opt_leaves": opt_leaves,
+            "position": position}
 
 
 def restore_opt_state(template_opt_state: Any, opt_leaves: list) -> Any:

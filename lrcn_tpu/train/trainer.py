@@ -225,17 +225,38 @@ class Trainer:
     def train_epoch(self, params, opt_state, batches: Sequence[Batch],
                     store: FeatureStore, rng_key: jax.Array,
                     shuffle_rng: np.random.Generator,
-                    log_every: int = 200) -> tuple:
-        """One epoch over shuffled batches (reference: train1, lrcn.jl:330-397)."""
+                    log_every: int = 200, start_dispatch: int = 0,
+                    ckpt_every: int | None = None,
+                    on_checkpoint=None) -> tuple:
+        """One epoch over shuffled batches (reference: train1, lrcn.jl:330-397).
+
+        ``start_dispatch`` resumes mid-epoch: the first N dispatches are
+        skipped without host work, and because the batch order derives
+        from ``shuffle_rng``'s epoch-start state and every step key is
+        index-derived (random access, no split chain), the resumed run
+        replays the exact same computation.  ``on_checkpoint(dispatch,
+        params, opt_state)`` fires every ``ckpt_every`` dispatches.
+        """
         t0 = time.time()
         tokens_seen = 0
         single_step_batches = batches
         single_step_rng = shuffle_rng
+        n_chunks = 0
+
+        def maybe_ckpt(dispatch, p, o):
+            if ckpt_every and on_checkpoint and dispatch % ckpt_every == 0:
+                jax.block_until_ready(p)
+                on_checkpoint(dispatch, p, o)
+
         if self._multi_step is not None:
             chunks, tail = self._multi_step_chunks(batches, shuffle_rng)
+            n_chunks = len(chunks)
             table = self._device_table(store)
             offset = 0
             for ci, chunk in enumerate(chunks):
+                if ci < start_dispatch:     # resumed: already trained
+                    offset += len(chunk)
+                    continue
                 tokens_k = np.stack([b.tokens for b in chunk])
                 lengths_k = np.stack([b.lengths for b in chunk])
                 rows_k = np.stack([store.rows(b.image_ids) for b in chunk])
@@ -251,21 +272,30 @@ class Trainer:
                         loss=round(float(losses[-1]), 4),
                         words_per_sec=round(
                             tokens_seen / (time.time() - t0), 1))
+                maybe_ckpt(ci + 1, params, opt_state)
             rng_key = jax.random.fold_in(rng_key, offset + 1)
             single_step_batches = tail   # per-shape remainders
             single_step_rng = None       # already shuffled
+        # single-step path: materialize the (possibly shuffled) order so
+        # a resume can slice past completed batches; step keys derive
+        # from (epoch key, index) so the stream is position-addressable
+        order = list(iterate_epoch(single_step_batches, single_step_rng))
+        skip_single = max(0, start_dispatch - n_chunks)
+        single_base = rng_key
         for i, (tokens, lengths, feats) in enumerate(
-                self._device_batches(single_step_batches, store,
-                                     single_step_rng)):
-            rng_key, step_key = jax.random.split(rng_key)
+                self._device_batches(order[skip_single:], store, None)):
+            j = skip_single + i
+            step_key = jax.random.fold_in(single_base, j)
             params, opt_state, loss = self._train_step(
                 params, opt_state, tokens, lengths, feats, step_key)
             tokens_seen += int(np.sum(np.maximum(np.asarray(lengths), 0)))
-            if log_every and i % log_every == 0:
-                self.metrics.log(event="train", batch=i,
+            if log_every and j % log_every == 0:
+                self.metrics.log(event="train", batch=j,
                                  loss=round(float(loss), 4),
                                  words_per_sec=round(
                                      tokens_seen / (time.time() - t0), 1))
+            maybe_ckpt(n_chunks + j + 1, params, opt_state)
+        rng_key = jax.random.fold_in(single_base, len(order) + 1)
         jax.block_until_ready(params)
         self.metrics.log(event="epoch_train_done",
                          batches=len(batches),
@@ -308,22 +338,63 @@ class Trainer:
             train_store: FeatureStore, val_store: FeatureStore | None,
             rng_key: jax.Array, *, epochs: int | None = None,
             savefile: str | None = None, bestfile: str | None = None,
-            eval_train_loss: bool = True) -> tuple:
+            eval_train_loss: bool = True, ckpt_every: int | None = None,
+            resume_position: dict | None = None) -> tuple:
         """Full training loop (reference: train!, lrcn.jl:223-246).
 
         ``bestfile``: additionally checkpoint whenever the epoch's
         validation loss improves.  (The reference's stale variant declared
         ``--bestfile`` and lrcn.jl:63 still references it without declaring
         the flag — a latent KeyError; here it works.)
+
+        ``ckpt_every``: also checkpoint every N dispatches WITHIN an
+        epoch (the reference only saves per epoch, lrcn.jl:228-231 — on
+        a large corpus a crash loses the whole epoch).  The save carries
+        a resume position (epoch, dispatch, shuffle state, epoch key);
+        passing it back as ``resume_position`` replays the interrupted
+        epoch from that dispatch, bit-exact with the uninterrupted run.
+        Epoch-complete saves clear the position.
         """
+        import copy
+
         epochs = epochs if epochs is not None else self.cfg.epochs
         seed = self.cfg.seed if self.cfg.seed > 0 else None
         shuffle_rng = np.random.default_rng(seed)
         best_val = float("inf")
-        for epoch in range(1, epochs + 1):
+        start_epoch, start_dispatch = 1, 0
+        if resume_position:
+            start_epoch = int(resume_position["epoch"])
+            start_dispatch = int(resume_position["dispatch"])
+            shuffle_rng.bit_generator.state = resume_position[
+                "shuffle_state"]
+            rng_key = jnp.asarray(
+                np.asarray(resume_position["epoch_key"], np.uint32))
+            print(f"resume: continuing epoch {start_epoch} from dispatch "
+                  f"{start_dispatch}")
+        for epoch in range(start_epoch, start_epoch + epochs):
+            epoch_state = copy.deepcopy(shuffle_rng.bit_generator.state)
+            epoch_key = np.asarray(rng_key)
+
+            def on_ckpt(dispatch, p, o, _epoch=epoch,
+                        _state=epoch_state, _key=epoch_key):
+                cp = (self._sharded.unshard_params(p)
+                      if self._pipeline else p)
+                save_checkpoint(
+                    savefile, cp, self.vocab, self.cfg, opt_state=o,
+                    epoch=_epoch - 1,
+                    position={"epoch": _epoch, "dispatch": dispatch,
+                              "shuffle_state": _state,
+                              "epoch_key": _key.tolist()})
+                self.metrics.log(event="ckpt", epoch=_epoch,
+                                 dispatch=dispatch)
+
             params, opt_state, rng_key = self.train_epoch(
                 params, opt_state, train_batches, train_store, rng_key,
-                shuffle_rng)
+                shuffle_rng,
+                start_dispatch=(start_dispatch
+                                if epoch == start_epoch else 0),
+                ckpt_every=ckpt_every if savefile else None,
+                on_checkpoint=on_ckpt if savefile else None)
             # pipeline-layout params convert back to the standard decoder
             # pytree so checkpoints stay layout-independent (the opt state
             # keeps the training layout; resuming with a different layout

@@ -241,3 +241,92 @@ def test_multi_eval_matches_single_eval(tiny_setup):
     a = t1.average_loss(params, batches, store)
     b = tk.average_loss(params, batches, store)
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 2])
+def test_mid_epoch_checkpoint_resume_exact(tmp_path, tiny_setup,
+                                           steps_per_dispatch):
+    """Kill training mid-epoch; resuming from the step-interval
+    checkpoint must replay the EXACT uninterrupted computation (same
+    batch order from the saved shuffle state, same index-derived step
+    keys) — final params bit-identical to a never-interrupted run.
+    The reference only saves per epoch (lrcn.jl:228-231)."""
+    cfg, vocab, caps, store, batches = tiny_setup
+    ckpt_dir = str(tmp_path / f"ckpt_k{steps_per_dispatch}")
+    n_epochs = 2
+
+    def run(interrupt):
+        trainer = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False),
+                          steps_per_dispatch=steps_per_dispatch)
+        params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+        if interrupt:
+            class Crash(Exception):
+                pass
+
+            real_save = save_checkpoint
+            calls = []
+
+            # crash immediately after the SECOND mid-epoch save lands
+            import lrcn_tpu.train.trainer as trainer_mod
+
+            def crashing_save(*a, **kw):
+                real_save(*a, **kw)
+                if kw.get("position") is not None:
+                    calls.append(1)
+                    if len(calls) == 2:
+                        raise Crash()
+
+            trainer_mod.save_checkpoint, orig = (
+                crashing_save, trainer_mod.save_checkpoint)
+            try:
+                with pytest.raises(Crash):
+                    trainer.fit(params, opt_state, batches, None, store,
+                                None, jax.random.PRNGKey(1),
+                                epochs=n_epochs, eval_train_loss=False,
+                                savefile=ckpt_dir, ckpt_every=1)
+            finally:
+                trainer_mod.save_checkpoint = orig
+
+            # resume exactly as cmd_train does
+            ckpt = load_checkpoint(ckpt_dir)
+            assert ckpt["position"] is not None
+            trainer2 = Trainer(cfg, vocab,
+                               metrics=MetricsLogger(echo=False),
+                               steps_per_dispatch=steps_per_dispatch)
+            params2, opt2 = trainer2.init(jax.random.PRNGKey(0))
+            params2 = jax.tree.map(jax.numpy.asarray, ckpt["params"])
+            opt2 = restore_opt_state(opt2, ckpt["opt_leaves"])
+            remaining = n_epochs - (ckpt["position"]["epoch"] - 1) - 1
+            params2, opt2 = trainer2.fit(
+                params2, opt2, batches, None, store, None,
+                jax.random.PRNGKey(1), epochs=remaining + 1,
+                eval_train_loss=False, resume_position=ckpt["position"])
+            return params2
+        params, opt_state = trainer.fit(
+            params, opt_state, batches, None, store, None,
+            jax.random.PRNGKey(1), epochs=n_epochs,
+            eval_train_loss=False)
+        return params
+
+    p_full = run(interrupt=False)
+    p_resumed = run(interrupt=True)
+    flat_a = jax.tree.leaves(p_full)
+    flat_b = jax.tree.leaves(p_resumed)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ckpt_every_cli_flag_and_position_cleared(tmp_path, tiny_setup):
+    """`lrcn train --ckpt-every N` writes mid-epoch saves; a run that
+    COMPLETES leaves no resume position in the final checkpoint."""
+    cfg, vocab, caps, store, batches = tiny_setup
+    trainer = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False))
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "ckpt_clean")
+    trainer.fit(params, opt_state, batches, None, store, None,
+                jax.random.PRNGKey(1), epochs=1, eval_train_loss=False,
+                savefile=ckpt_dir, ckpt_every=1)
+    ckpt = load_checkpoint(ckpt_dir)
+    assert ckpt["position"] is None       # epoch-complete save wins
+    assert ckpt["epoch"] == 1
