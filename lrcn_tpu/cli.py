@@ -541,7 +541,7 @@ def _train_joint(args) -> int:
 
     vocab, caption_lists = tokenize(args.datafiles,
                                     min_count=args.vocab_min_count)
-    vgg_params = decoder_params = opt_leaves = None
+    vgg_params = decoder_params = opt_leaves = ckpt = None
     average_image = identity_average_image()
     if args.loadfile:
         ckpt = load_checkpoint(args.loadfile)
@@ -610,7 +610,9 @@ def _train_joint(args) -> int:
                     average_image)
     trainer.fit(params, opt_state, train_batches, val_batches,
                 jax.random.PRNGKey(max(cfg.seed, 0) + 1),
-                savefile=args.savefile, bestfile=args.bestfile)
+                savefile=args.savefile, bestfile=args.bestfile,
+                ckpt_every=args.ckpt_every,
+                resume_position=(ckpt or {}).get("position"))
     metrics.close()
     return 0
 

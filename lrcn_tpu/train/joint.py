@@ -117,17 +117,33 @@ class JointTrainer:
     def train_epoch(self, params, opt_state, batches: Sequence[Batch],
                     rng_key: jax.Array,
                     shuffle_rng: np.random.Generator | None,
-                    log_every: int = 50) -> tuple:
+                    log_every: int = 50, start_dispatch: int = 0,
+                    ckpt_every: int | None = None,
+                    on_checkpoint=None) -> tuple:
+        """One fine-tune epoch; resumable mid-epoch exactly like the
+        decoder trainer (train/trainer.py): ``start_dispatch`` skips
+        completed dispatches (no image decode for them), step keys are
+        position-derived, and ``on_checkpoint`` fires every
+        ``ckpt_every`` dispatches."""
         t0 = time.time()
         seen = 0
+        n_chunks = 0
+
+        def maybe_ckpt(dispatch, p, o):
+            if ckpt_every and on_checkpoint and dispatch % ckpt_every == 0:
+                jax.block_until_ready(p)
+                on_checkpoint(dispatch, p, o)
+
         if self.steps_per_dispatch == 1:
             single = list(iterate_epoch(batches, shuffle_rng))
         else:
             chunks, tail = chunk_same_shape(
                 batches, self.steps_per_dispatch, shuffle_rng)
-            offset = 0
+            n_chunks = len(chunks)
+            skip = min(start_dispatch, n_chunks)
+            offset = sum(len(c) for c in chunks[:skip])
             feed = self._prefetched(
-                chunks, self._load_chunk,
+                chunks[skip:], self._load_chunk,
                 lambda host: self.step.shard_chunk(*host))
             for ci, (images_k, tokens_k, lengths_k) in enumerate(feed):
                 params, opt_state, losses = self.step.multi_step(
@@ -135,29 +151,37 @@ class JointTrainer:
                     rng_key, offset)
                 offset += images_k.shape[0]
                 seen += images_k.shape[0] * images_k.shape[1]
-                if log_every and (ci * images_k.shape[0]) % log_every \
+                gi = skip + ci
+                if log_every and (gi * images_k.shape[0]) % log_every \
                         < images_k.shape[0]:
                     self.metrics.log(event="joint_train",
-                                     batch=ci * images_k.shape[0],
+                                     batch=gi * images_k.shape[0],
                                      loss=round(float(losses[-1]), 4),
                                      images_per_sec=round(
                                          seen / (time.time() - t0), 1))
+                maybe_ckpt(gi + 1, params, opt_state)
             rng_key = jax.random.fold_in(rng_key, offset + 1)
             single = tail   # per-shape remainders, already shuffled
+        skip_single = max(0, start_dispatch - n_chunks)
+        single_base = rng_key
         feed = self._prefetched(
-            single, self._load_images,
+            single[skip_single:], self._load_images,
             lambda imgs: imgs)   # shard with the batch below
-        for i, (batch, images) in enumerate(zip(single, feed)):
+        for i, (batch, images) in enumerate(zip(single[skip_single:],
+                                                feed)):
+            j = skip_single + i
             dev = self.step.shard_batch(images, batch.tokens, batch.lengths)
-            rng_key, step_key = jax.random.split(rng_key)
+            step_key = jax.random.fold_in(single_base, j)
             params, opt_state, loss = self.step(
                 params, opt_state, *dev, step_key)
             seen += dev[0].shape[0]
-            if log_every and i % log_every == 0:
-                self.metrics.log(event="joint_train", batch=i,
+            if log_every and j % log_every == 0:
+                self.metrics.log(event="joint_train", batch=j,
                                  loss=round(float(loss), 4),
                                  images_per_sec=round(
                                      seen / (time.time() - t0), 1))
+            maybe_ckpt(n_chunks + j + 1, params, opt_state)
+        rng_key = jax.random.fold_in(single_base, len(single) + 1)
         jax.block_until_ready(params)
         return params, opt_state, rng_key
 
@@ -191,14 +215,47 @@ class JointTrainer:
     def fit(self, params, opt_state, train_batches: Sequence[Batch],
             val_batches: Sequence[Batch] | None, rng_key: jax.Array, *,
             epochs: int | None = None, savefile: str | None = None,
-            bestfile: str | None = None) -> tuple:
+            bestfile: str | None = None, ckpt_every: int | None = None,
+            resume_position: dict | None = None) -> tuple:
+        """Epoch loop; ``ckpt_every``/``resume_position`` give the same
+        crash-safe mid-epoch checkpointing as the decoder trainer."""
+        import copy
+
         epochs = epochs if epochs is not None else self.cfg.epochs
         seed = self.cfg.seed if self.cfg.seed > 0 else None
         shuffle_rng = np.random.default_rng(seed)
         best_val = float("inf")
-        for epoch in range(1, epochs + 1):
+        start_epoch, start_dispatch = 1, 0
+        if resume_position:
+            start_epoch = int(resume_position["epoch"])
+            start_dispatch = int(resume_position["dispatch"])
+            shuffle_rng.bit_generator.state = resume_position[
+                "shuffle_state"]
+            rng_key = jax.numpy.asarray(
+                np.asarray(resume_position["epoch_key"], np.uint32))
+            print(f"resume: continuing epoch {start_epoch} from dispatch "
+                  f"{start_dispatch}")
+        for epoch in range(start_epoch, start_epoch + epochs):
+            epoch_state = copy.deepcopy(shuffle_rng.bit_generator.state)
+            epoch_key = np.asarray(rng_key)
+
+            def on_ckpt(dispatch, p, o, _epoch=epoch,
+                        _state=epoch_state, _key=epoch_key):
+                save_checkpoint(
+                    savefile, p, self.vocab, self.cfg, opt_state=o,
+                    epoch=_epoch - 1,
+                    position={"epoch": _epoch, "dispatch": dispatch,
+                              "shuffle_state": _state,
+                              "epoch_key": _key.tolist()})
+                self.metrics.log(event="ckpt", epoch=_epoch,
+                                 dispatch=dispatch)
+
             params, opt_state, rng_key = self.train_epoch(
-                params, opt_state, train_batches, rng_key, shuffle_rng)
+                params, opt_state, train_batches, rng_key, shuffle_rng,
+                start_dispatch=(start_dispatch
+                                if epoch == start_epoch else 0),
+                ckpt_every=ckpt_every if savefile else None,
+                on_checkpoint=on_ckpt if savefile else None)
             if savefile:
                 save_checkpoint(savefile, params, self.vocab, self.cfg,
                                 opt_state=opt_state, epoch=epoch)

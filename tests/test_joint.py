@@ -137,3 +137,102 @@ def test_joint_step_on_mesh():
     params, opt_state, loss = step(params, opt_state, *dev_batch,
                                    jax.random.PRNGKey(4))
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 2])
+def test_joint_mid_epoch_resume_exact(tmp_path, monkeypatch,
+                                      steps_per_dispatch):
+    """Crash the joint fine-tune mid-epoch; resume must be bit-identical
+    to the uninterrupted run (same protocol as the decoder trainer)."""
+    import functools
+
+    from PIL import Image
+
+    from lrcn_tpu.core.tokenizer import Caption
+    from lrcn_tpu.core.vocab import Vocab
+    from lrcn_tpu.data.batcher import bucket_batches
+    from lrcn_tpu.train import joint as joint_mod
+    from lrcn_tpu.train.checkpoint import (
+        load_checkpoint,
+        restore_opt_state,
+        save_checkpoint,
+    )
+    from lrcn_tpu.train.joint import (
+        JointTrainer,
+        identity_average_image,
+        load_joint_params,
+    )
+    from lrcn_tpu.train.metrics import MetricsLogger
+
+    monkeypatch.setattr(
+        vgg, "init_vgg_params",
+        functools.partial(vgg.init_vgg_params,
+                          width_multiplier=0.05, fc_dim=16))
+
+    rng = np.random.default_rng(7)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths = {}
+    caps = []
+    for i in range(8):
+        iid = 9000 + i
+        p = str(img_dir / f"{iid}.jpg")
+        Image.fromarray(rng.integers(0, 255, (230, 240, 3))
+                        .astype(np.uint8)).save(p)
+        paths[iid] = p
+        caps.append(Caption(iid, ("w0", "w1", f"w{2 + i % 3}")))
+    vocab = Vocab([f"w{i}" for i in range(6)])
+    cfg = LRCNConfig(hidden=(12, 12), embed=8, cnn_feature_dim=16,
+                     vocab_size=len(vocab), dropout=0.0, lr=1e-2,
+                     compute_dtype="float32", seed=3, batch_size=2)
+    batches = bucket_batches(caps, vocab, cfg.batch_size,
+                             apply_small_dataset_rule=False)
+    ckpt_dir = str(tmp_path / "jckpt")
+
+    def make():
+        trainer = JointTrainer(
+            cfg, vocab, paths, identity_average_image(),
+            metrics=MetricsLogger(echo=False),
+            steps_per_dispatch=steps_per_dispatch)
+        vgg_params = vgg.init_vgg_params(jax.random.PRNGKey(0))
+        params, opt_state = trainer.init(jax.random.PRNGKey(1),
+                                         vgg_params=vgg_params)
+        return trainer, params, opt_state
+
+    # uninterrupted run
+    trainer, params, opt_state = make()
+    p_full, _ = trainer.fit(params, opt_state, batches, None,
+                            jax.random.PRNGKey(2), epochs=1)
+
+    # interrupted-and-resumed run: crash after the first mid-epoch save
+    trainer, params, opt_state = make()
+
+    class Crash(Exception):
+        pass
+
+    real_save = save_checkpoint
+
+    def crashing_save(*a, **kw):
+        real_save(*a, **kw)
+        if kw.get("position") is not None:
+            raise Crash()
+
+    monkeypatch.setattr(joint_mod, "save_checkpoint", crashing_save)
+    with pytest.raises(Crash):
+        trainer.fit(params, opt_state, batches, None,
+                    jax.random.PRNGKey(2), epochs=1,
+                    savefile=ckpt_dir, ckpt_every=1)
+    monkeypatch.setattr(joint_mod, "save_checkpoint", real_save)
+
+    ckpt = load_checkpoint(ckpt_dir)
+    assert ckpt["position"] is not None
+    trainer2, params2, opt2 = make()
+    params2 = load_joint_params(
+        jax.tree.map(jnp.asarray, ckpt["params"]))
+    opt2 = restore_opt_state(opt2, ckpt["opt_leaves"])
+    p_res, _ = trainer2.fit(params2, opt2, batches, None,
+                            jax.random.PRNGKey(2), epochs=1,
+                            resume_position=ckpt["position"])
+
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
