@@ -162,7 +162,7 @@ class DynamicBatcher:
             if nxt is None:
                 break
             batch.append(nxt)
-        return batch
+        return [b for b in batch if not b[1].cancelled()]
 
     def _fan_out(self, batch: list[tuple], results: list) -> None:
         if len(results) != len(batch):
@@ -172,14 +172,16 @@ class DynamicBatcher:
             return
         done = time.monotonic()
         for (_, fut, _), res in zip(batch, results):
-            fut.set_result(res)
+            if not fut.cancelled():
+                fut.set_result(res)
         self.stats.record_batch(
             len(batch), [(done - t0) * 1e3 for _, _, t0 in batch])
 
     def _fail(self, batch: list[tuple], e: Exception) -> None:
         self.stats.errors += len(batch)
         for _, fut, _ in batch:
-            fut.set_exception(e)
+            if not fut.cancelled():
+                fut.set_exception(e)
 
     def _run(self) -> None:
         while not self._closed.is_set():
@@ -196,6 +198,15 @@ class DynamicBatcher:
                 self._fan_out(batch, raw)
             else:                           # collector fetches; keep issuing
                 self._pending.put((batch, raw))
+        # resolve anything still queued so no future hangs for its full
+        # client timeout after close
+        while True:
+            try:
+                entry = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if entry is not None:
+                self._fail([entry], RuntimeError(f"{self.name} closed"))
 
     def _collect(self) -> None:
         while True:
@@ -209,11 +220,3 @@ class DynamicBatcher:
                 self._fail(batch, e)
                 continue
             self._fan_out(batch, results)
-        # drain anything queued after close
-        while True:
-            try:
-                entry = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if entry is not None:
-                entry[1].set_exception(RuntimeError(f"{self.name} closed"))

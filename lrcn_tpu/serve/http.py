@@ -32,6 +32,10 @@ import jax
 from lrcn_tpu.serve.batcher import BatcherOverloaded
 from lrcn_tpu.serve.service import CaptionService
 
+# 64 MB: a full encode batch of base64 JPEGs fits with room to spare;
+# anything larger is a mistake or an attack (mapped to 413)
+MAX_BODY_BYTES = 64 << 20
+
 
 def make_handler(service: CaptionService):
     class Handler(BaseHTTPRequestHandler):
@@ -63,6 +67,10 @@ def make_handler(service: CaptionService):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > MAX_BODY_BYTES:
+                    self._reply(413, {"error": f"body {length} B exceeds "
+                                               f"{MAX_BODY_BYTES} B"})
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 captions = self._dispatch(req)
             except BatcherOverloaded as e:  # backpressure: shed load

@@ -84,7 +84,8 @@ class CaptionService:
         self.mesh = mesh
         if mesh is not None:
             n_data = mesh.shape["data"]
-            if decode_batch % n_data or encode_batch % n_data:
+            if decode_batch % n_data or (
+                    vgg_params is not None and encode_batch % n_data):
                 raise ValueError(
                     f"decode_batch={decode_batch} / encode_batch="
                     f"{encode_batch} must be divisible by the mesh's "
@@ -218,18 +219,23 @@ class CaptionService:
     # --- request side ---
 
     def caption_features(self, feats: Sequence[np.ndarray]) -> list[str]:
-        futs = [self._decode.submit(np.asarray(f, np.float32).reshape(-1))
-                for f in feats]
-        return [f.result(timeout=self.request_timeout_s) for f in futs]
+        rows = []
+        for f in feats:
+            row = np.asarray(f, np.float32).reshape(-1)
+            if row.shape[0] != self.cfg.cnn_feature_dim:
+                raise ValueError(
+                    f"feature row has {row.shape[0]} dims, model expects "
+                    f"{self.cfg.cnn_feature_dim}")
+            rows.append(row)
+        return self._await_all([self._decode.submit(r) for r in rows])
 
     def caption_ids(self, image_ids: Sequence[int]) -> list[str]:
         if self.store is None:
             raise RuntimeError("service has no feature store")
         if self._rows_batcher is not None:
             rows = self.store.rows(image_ids)   # KeyError on unknown ids
-            futs = [self._rows_batcher.submit(int(r)) for r in rows]
-            return [f.result(timeout=self.request_timeout_s)
-                    for f in futs]
+            return self._await_all(
+                [self._rows_batcher.submit(int(r)) for r in rows])
         feats = [self.store.get(int(i)) for i in image_ids]
         if not self.store.normalized:
             feats = [l1_normalize(r[None])[0] for r in feats]
@@ -241,8 +247,7 @@ class CaptionService:
             raise RuntimeError("service has no encoder (pass vgg_params)")
         feat_futs = [self._encode.submit(np.asarray(img, np.uint8))
                      for img in images]
-        return self.caption_features(
-            [f.result(timeout=self.request_timeout_s) for f in feat_futs])
+        return self.caption_features(self._await_all(feat_futs))
 
     def caption_image_bytes(self, blobs: Sequence[bytes]) -> list[str]:
         """Raw encoded image bytes (JPEG/PNG) -> captions."""
@@ -257,6 +262,18 @@ class CaptionService:
             img = Image.open(io.BytesIO(blob)).convert("RGB")
             images.append(resize_crop(np.asarray(img)))
         return self.caption_images(images)
+
+    def _await_all(self, futs: list) -> list:
+        """Wait for every future; on timeout CANCEL the not-yet-batched
+        remainder so the device never dispatches work whose client is
+        gone (under overload that dead work would livelock throughput)."""
+        try:
+            return [f.result(timeout=self.request_timeout_s)
+                    for f in futs]
+        except Exception:
+            for f in futs:
+                f.cancel()
+            raise
 
     # --- ops ---
 

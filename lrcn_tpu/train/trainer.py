@@ -32,7 +32,11 @@ from lrcn_tpu.data.batcher import Batch, chunk_same_shape, iterate_epoch
 from lrcn_tpu.data.feature_store import FeatureStore
 from lrcn_tpu.data.pipeline import prefetch_to_device
 from lrcn_tpu.models import lrcn
-from lrcn_tpu.train.checkpoint import save_checkpoint
+from lrcn_tpu.train.checkpoint import (
+    make_position,
+    resume_start,
+    save_checkpoint,
+)
 from lrcn_tpu.train.metrics import MetricsLogger
 
 
@@ -361,16 +365,10 @@ class Trainer:
         seed = self.cfg.seed if self.cfg.seed > 0 else None
         shuffle_rng = np.random.default_rng(seed)
         best_val = float("inf")
-        start_epoch, start_dispatch = 1, 0
-        if resume_position:
-            start_epoch = int(resume_position["epoch"])
-            start_dispatch = int(resume_position["dispatch"])
-            shuffle_rng.bit_generator.state = resume_position[
-                "shuffle_state"]
-            rng_key = jnp.asarray(
-                np.asarray(resume_position["epoch_key"], np.uint32))
-            print(f"resume: continuing epoch {start_epoch} from dispatch "
-                  f"{start_dispatch}")
+        geometry = {"steps_per_dispatch": self.steps_per_dispatch,
+                    "n_batches": len(train_batches)}
+        start_epoch, start_dispatch, rng_key = resume_start(
+            resume_position, shuffle_rng, rng_key, geometry)
         for epoch in range(start_epoch, start_epoch + epochs):
             epoch_state = copy.deepcopy(shuffle_rng.bit_generator.state)
             epoch_key = np.asarray(rng_key)
@@ -382,9 +380,8 @@ class Trainer:
                 save_checkpoint(
                     savefile, cp, self.vocab, self.cfg, opt_state=o,
                     epoch=_epoch - 1,
-                    position={"epoch": _epoch, "dispatch": dispatch,
-                              "shuffle_state": _state,
-                              "epoch_key": _key.tolist()})
+                    position=make_position(_epoch, dispatch, _state,
+                                           _key, geometry))
                 self.metrics.log(event="ckpt", epoch=_epoch,
                                  dispatch=dispatch)
 

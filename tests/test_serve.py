@@ -353,3 +353,98 @@ def test_http_image_path_with_tiny_vgg(tiny_model, monkeypatch):
         server.shutdown()
         server.server_close()
         svc.close()
+
+
+def test_feature_dim_validated_before_batching(tiny_model):
+    """A wrong-width feature row must fail ITS OWN request (ValueError ->
+    HTTP 400), not poison a coalesced batch or compile a new shape."""
+    cfg, vocab, params = tiny_model
+    svc = CaptionService(cfg, params, vocab, beam_width=2, max_words=6,
+                        decode_batch=4, compute_dtype=jnp.float32)
+    try:
+        with pytest.raises(ValueError, match="dims"):
+            svc.caption_features([np.zeros(3, np.float32)])
+        # the service still works for valid rows afterwards
+        out = svc.caption_features(
+            [np.zeros(cfg.cnn_feature_dim, np.float32)])
+        assert len(out) == 1
+    finally:
+        svc.close()
+
+
+def test_http_body_size_cap():
+    from lrcn_tpu.serve.http import MAX_BODY_BYTES
+
+    class Stub:
+        def caption_ids(self, ids):
+            return ["x ."]
+
+        def stats(self):
+            return {}
+
+    server = make_server(Stub(), host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/v1/caption", body=b"",
+                     headers={"Content-Type": "application/json",
+                              "Content-Length": str(MAX_BODY_BYTES + 1)})
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_close_resolves_queued_futures():
+    """close() must not leave queued requests hanging for their full
+    client timeout."""
+    import time as _time
+
+    release = threading.Event()
+
+    def slow(items):
+        release.wait(5)
+        return items
+
+    b = DynamicBatcher(slow, max_batch=1, max_wait_ms=1.0)
+    try:
+        b.submit(0)
+        queued = [b.submit(i) for i in range(1, 4)]
+        release.set()
+        t0 = _time.monotonic()
+        b.close()
+        # every queued future resolves promptly (result or 'closed' error)
+        for f in queued:
+            try:
+                f.result(timeout=1)
+            except RuntimeError as e:
+                assert "closed" in str(e)
+        assert _time.monotonic() - t0 < 5
+    finally:
+        release.set()
+
+
+def test_timed_out_requests_are_cancelled(tiny_model):
+    """Futures the client gave up on are cancelled and skipped at drain
+    time — the device never dispatches dead work."""
+    from concurrent.futures import TimeoutError as FuturesTimeout
+
+    cfg, vocab, params = tiny_model
+    store = _make_store(cfg)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                        max_words=6, decode_batch=4,
+                        compute_dtype=jnp.float32,
+                        request_timeout_s=0.0)   # give up immediately
+    try:
+        with pytest.raises(FuturesTimeout):
+            svc.caption_ids([100, 101])
+        # wait for the dispatcher to see (and drop) the cancelled items
+        time.sleep(0.3)
+        svc.request_timeout_s = 60.0
+        out = svc.caption_ids([100])             # service still healthy
+        assert len(out) == 1
+    finally:
+        svc.close()

@@ -1,5 +1,7 @@
 """Trainer / checkpoint tests: overfit a tiny synthetic dataset."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -330,3 +332,74 @@ def test_ckpt_every_cli_flag_and_position_cleared(tmp_path, tiny_setup):
     ckpt = load_checkpoint(ckpt_dir)
     assert ckpt["position"] is None       # epoch-complete save wins
     assert ckpt["epoch"] == 1
+
+
+def test_checkpoint_save_is_atomic(tmp_path, tiny_setup):
+    """A crash at any point of a periodic save must leave a loadable
+    checkpoint: save_checkpoint writes to .tmp and swaps (the old
+    in-place overwrite could tear the ONLY copy mid-write)."""
+    import shutil
+
+    from lrcn_tpu.train.checkpoint import recover_checkpoint
+
+    cfg, vocab, caps, store, batches = tiny_setup
+    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "atomic")
+    save_checkpoint(path, params, vocab, cfg, epoch=1)
+
+    # crash window 1: a partial .tmp next to an intact checkpoint
+    tmp = path + ".tmp"
+    os.makedirs(tmp)
+    np.savez(os.path.join(tmp, "params.npz"), junk=np.zeros(1))
+    assert recover_checkpoint(path) == path
+    assert load_checkpoint(path)["epoch"] == 1
+    assert not os.path.exists(tmp)
+
+    # crash window 2: killed mid-swap — old moved aside, tmp complete
+    save_checkpoint(path, params, vocab, cfg, epoch=2)
+    shutil.move(path, path + ".old")
+    save_dir = path + ".tmp"
+    shutil.copytree(path + ".old", save_dir)
+    assert recover_checkpoint(path) == path
+    assert load_checkpoint(path)["epoch"] == 2
+
+
+def test_resume_refuses_different_dispatch_geometry(tmp_path, tiny_setup):
+    """A mid-epoch position records the dispatch geometry; resuming
+    under different --steps-per-dispatch would reinterpret the dispatch
+    index as a different batch stream and must fail loudly."""
+    cfg, vocab, caps, store, batches = tiny_setup
+    trainer = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False),
+                      steps_per_dispatch=2)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "geo")
+
+    class Crash(Exception):
+        pass
+
+    import lrcn_tpu.train.trainer as trainer_mod
+    real = save_checkpoint
+
+    def crashing(*a, **kw):
+        real(*a, **kw)
+        if kw.get("position") is not None:
+            raise Crash()
+
+    trainer_mod.save_checkpoint = crashing
+    try:
+        with pytest.raises(Crash):
+            trainer.fit(params, opt_state, batches, None, store, None,
+                        jax.random.PRNGKey(1), epochs=1,
+                        eval_train_loss=False, savefile=ckpt_dir,
+                        ckpt_every=1)
+    finally:
+        trainer_mod.save_checkpoint = real
+
+    ckpt = load_checkpoint(ckpt_dir)
+    wrong = Trainer(cfg, vocab, metrics=MetricsLogger(echo=False),
+                    steps_per_dispatch=1)   # different geometry
+    p2, o2 = wrong.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="geometry"):
+        wrong.fit(p2, o2, batches, None, store, None,
+                  jax.random.PRNGKey(1), epochs=1, eval_train_loss=False,
+                  resume_position=ckpt["position"])
