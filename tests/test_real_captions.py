@@ -4,10 +4,11 @@ captions.
 The synthetic gates (tests/test_cli.py) prove learning and protocol
 plumbing on template corpora; this gate runs the full pipeline —
 tokenizer -> vocab -> bucketed training -> on-device beam decode ->
-reference building -> Perl-parity BLEU — on REAL human caption data: the
-1000-image Flickr30k reference sets the reference repo committed under
-eval/flickr_refs (f_ref0..4, eval/eval.jl:60-75), i.e. five human
-captions per held-out test image.
+reference building -> Perl-parity BLEU — on REAL human caption data:
+the 1000-image Flickr30k test (eval/flickr_refs/f_ref0..4) AND COCO val
+(eval/coco_refs/ref0..4) reference sets the reference repo committed
+(eval/eval.jl:24-34,60-75) — five human captions per held-out image,
+both corpora parametrized through the same gate.
 
 Protocol: each image gets an identity feature code and is trained on 4
 of its 5 human references; beam search then captions every image and is
@@ -42,16 +43,21 @@ MAX_WORDS = 16
 HELD_OUT = 4          # f_ref4 is never trained on
 
 
-def _load_refs(reference_eval_dir):
-    refdir = os.path.join(reference_eval_dir, "flickr_refs")
+def _load_refs(reference_eval_dir, subdir, prefix):
+    refdir = os.path.join(reference_eval_dir, subdir)
     if not os.path.isdir(refdir):
-        pytest.skip("flickr_refs not available")
-    return [open(os.path.join(refdir, f"f_ref{i}")).read().splitlines()
+        pytest.skip(f"{subdir} not available")
+    return [open(os.path.join(refdir, f"{prefix}{i}")).read().splitlines()
             for i in range(5)]
 
 
-def test_real_captions_quality_gate(reference_eval_dir, tmp_path):
-    refs = _load_refs(reference_eval_dir)
+@pytest.mark.parametrize("subdir,prefix", [
+    ("flickr_refs", "f_ref"),       # Flickr30k test-set human captions
+    ("coco_refs", "ref"),           # COCO val human captions
+])
+def test_real_captions_quality_gate(reference_eval_dir, tmp_path,
+                                    subdir, prefix):
+    refs = _load_refs(reference_eval_dir, subdir, prefix)
     # bounded caption lengths keep the CPU run fast; 3..16 words still
     # spans many bucket lengths (masking exercised at train and eval)
     sel = [i for i in range(len(refs[0]))
