@@ -1,0 +1,121 @@
+"""Served throughput over REAL HTTP: Python vs native (C++) front-end.
+
+Client load comes from separate PROCESSES (multiprocessing) so the
+measurement shows server capacity, not client-GIL contention: each
+client process runs many threads of keep-alive caption-by-id requests.
+
+Usage: python benchmarks/bench_serve_http.py [python|native|both]
+"""
+import json
+import multiprocessing as mp
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def client_proc(port, n_threads, per_thread, out_queue):
+    import http.client
+
+    lat = []
+    lock = threading.Lock()
+
+    def worker(tid):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        for r in range(per_thread):
+            body = json.dumps({"id": (tid * 31 + r) % 512})
+            t0 = time.perf_counter()
+            conn.request("POST", "/v1/caption", body=body,
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            data = resp.read()
+            assert resp.status == 200, (resp.status, data[:100])
+            with lock:
+                lat.append((time.perf_counter() - t0) * 1e3)
+        conn.close()
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    out_queue.put(lat)
+
+
+def run_load(port, n_procs=4, n_threads=32, per_thread=8):
+    q = mp.Queue()
+    procs = [mp.Process(target=client_proc,
+                        args=(port, n_threads, per_thread, q))
+             for _ in range(n_procs)]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    lats = []
+    for _ in procs:
+        lats.extend(q.get())
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t0
+    n = n_procs * n_threads * per_thread
+    lats.sort()
+    return (n / wall, lats[len(lats) // 2], lats[int(0.99 * len(lats))])
+
+
+def build_service():
+    import jax
+
+    from lrcn_tpu.config import LRCNConfig
+    from lrcn_tpu.core.vocab import Vocab
+    from lrcn_tpu.data.feature_store import FeatureStore
+    from lrcn_tpu.models import lrcn
+    from lrcn_tpu.serve import CaptionService
+
+    cfg = LRCNConfig(hidden=(1000, 1000), embed=1000, vocab_size=8800)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = jax.device_put(lrcn.init_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    feats = {i: np.abs(rng.standard_normal(cfg.cnn_feature_dim))
+             .astype(np.float32) for i in range(512)}
+    store = FeatureStore.from_dict(
+        {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=3,
+                        max_words=20, decode_batch=256, max_wait_ms=10.0)
+    svc.warmup()
+    return svc
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    svc = build_service()
+
+    if which in ("python", "both"):
+        from lrcn_tpu.serve import make_server
+
+        server = make_server(svc, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        run_load(port, n_procs=1, per_thread=2)        # warm
+        rate, p50, p99 = run_load(port)
+        print(f"python frontend: {rate:8,.0f} captions/s  "
+              f"p50={p50:.0f}ms p99={p99:.0f}ms")
+        server.shutdown()
+        server.server_close()
+
+    if which in ("native", "both"):
+        from lrcn_tpu.serve.native_http import NativeFrontend
+
+        fe = NativeFrontend(svc, host="127.0.0.1", port=0,
+                            n_threads=256, wait_ms=10)
+        run_load(fe.port, n_procs=1, per_thread=2)     # warm
+        rate, p50, p99 = run_load(fe.port)
+        print(f"native frontend: {rate:8,.0f} captions/s  "
+              f"p50={p50:.0f}ms p99={p99:.0f}ms")
+        fe.stop()
+
+    svc.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -313,6 +313,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-queue", type=int, default=None,
                    help="shed load (HTTP 503) when a stage's queue "
                         "exceeds this depth; default unbounded")
+    p.add_argument("--native-frontend", action="store_true",
+                   help="serve through the C++ HTTP front-end "
+                        "(native/httpserve.cpp): per-request work out "
+                        "of the GIL; id requests only — features/images "
+                        "need the default Python server")
     p.add_argument("--request-timeout", type=float, default=60.0,
                    help="seconds a request may wait on the device "
                         "before HTTP 504")
@@ -833,6 +838,34 @@ def cmd_serve(args) -> int:
     service = make_caption_service(args)
     print("serve: warming up (compiling serving programs)...", flush=True)
     service.warmup()
+
+    if args.native_frontend:
+        from lrcn_tpu.serve import native_frontend
+
+        frontend = native_frontend(
+            service, host=args.host, port=args.port,
+            max_queue=args.max_queue or 4096)
+        print(f"serve: native frontend on http://{args.host}:"
+              f"{frontend.port}  (POST /v1/caption id requests, "
+              f"GET /healthz, GET /stats)", flush=True)
+
+        import threading
+
+        stop = threading.Event()
+
+        def _graceful(_signum, _frame):
+            stop.set()
+
+        signal.signal(signal.SIGTERM, _graceful)
+        signal.signal(signal.SIGINT, _graceful)
+        try:
+            stop.wait()
+        finally:
+            print("serve: draining and shutting down", flush=True)
+            frontend.stop()
+            service.close()
+        return 0
+
     server = make_server(service, args.host, args.port)
     host, port = server.server_address[:2]
     print(f"serve: listening on http://{host}:{port}  "

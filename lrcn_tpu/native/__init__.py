@@ -9,7 +9,11 @@ C++ in this package:
   subprocess);
 - ``imageloader.cpp`` — threaded JPEG decode/resize/crop feeding the fc7
   extractor (the TPU encoder sustains ~5k images/s; single-threaded PIL
-  cannot).
+  cannot);
+- ``httpserve.cpp``   — HTTP front-end for online serving: per-request
+  work (accept, parse, queue, respond) in C++, Python entering once per
+  coalesced batch (the pure-Python server pays ~0.25 ms of GIL per
+  request — serve/native_http.py).
 
 Libraries build on first use with the system toolchain (g++ -O3 -shared)
 into ``_build/`` next to the sources; every consumer has a pure-Python
@@ -28,7 +32,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _BUILD_DIR = os.path.join(_DIR, "_build")
 _LOCK = threading.Lock()
 _CACHE: dict[str, ctypes.CDLL | None] = {}
-_LINK_FLAGS = {"imageloader": ["-ljpeg", "-pthread"]}
+_LINK_FLAGS = {"imageloader": ["-ljpeg", "-pthread"],
+               "httpserve": ["-pthread"]}
 
 
 def native_enabled() -> bool:
@@ -96,5 +101,31 @@ def bleu_library() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int]
         lib.lrcn_bleu_get.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_longlong)]
+        lib._lrcn_configured = True
+    return lib
+
+
+def httpserve_library() -> ctypes.CDLL | None:
+    """The native HTTP front-end with argtypes configured, or None."""
+    lib = load_library("httpserve")
+    if lib is None:
+        return None
+    if not getattr(lib, "_lrcn_configured", False):
+        LL = ctypes.c_longlong
+        lib.lrcn_serve_start.restype = ctypes.c_void_p
+        lib.lrcn_serve_start.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_int]
+        lib.lrcn_serve_port.restype = ctypes.c_int
+        lib.lrcn_serve_port.argtypes = [ctypes.c_void_p]
+        lib.lrcn_serve_next.restype = ctypes.c_int
+        lib.lrcn_serve_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
+            ctypes.POINTER(LL), ctypes.c_int, ctypes.c_int]
+        lib.lrcn_serve_respond.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
+        lib.lrcn_serve_error.argtypes = [ctypes.c_void_p, LL,
+                                         ctypes.c_int, ctypes.c_char_p]
+        lib.lrcn_serve_stop.argtypes = [ctypes.c_void_p]
         lib._lrcn_configured = True
     return lib

@@ -1,0 +1,457 @@
+// Native HTTP front-end for the caption service.
+//
+// Motivation (benchmarks/bench_serve.py): the pure-Python server tops out
+// near ~3k served captions/s because every request pays ~0.25 ms of
+// Python under the GIL (HTTP parse, future, queue hop, thread wakeup).
+// Here C++ owns the per-REQUEST work — accept, HTTP/1.1 parsing, the
+// id-request JSON, queueing, response framing — and Python enters once
+// per coalesced BATCH: it pulls up to max_n (id, request) pairs, runs the
+// batched on-device beam search, and pushes caption strings back.
+//
+// Scope: the production hot path, caption-by-id —
+//   POST /v1/caption  {"id": N} | {"ids": [N, ...]}   (integers only)
+//   GET  /healthz, GET /stats                         (answered in C++)
+// Raw-feature / base64-image bodies return 501 pointing at the Python
+// server (lrcn serve without --native-frontend), which shares the same
+// request surface.
+//
+// Threading: one acceptor + a fixed pool of connection threads (blocking
+// reads, HTTP keep-alive). A connection thread parses a request, enqueues
+// its items (bounded queue -> immediate 503 on overflow), and sleeps on
+// the request's condvar until the Python pump fills every slot; it then
+// writes the JSON response and loops for the next request.
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <cctype>
+#include <chrono>
+#include <condition_variable>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Request {
+    long long serial = 0;
+    std::vector<long long> ids;
+    std::vector<std::string> captions;   // filled by the pump
+    size_t filled = 0;
+    int error_status = 0;                // != 0: respond with an error
+    std::string error_msg;
+    std::mutex mu;
+    std::condition_variable cv;
+    bool done() const { return error_status != 0 || filled == ids.size(); }
+};
+
+struct Item {
+    long long id;
+    Request* req;
+    size_t slot;
+};
+
+struct Server {
+    int listen_fd = -1;
+    int port = 0;
+    std::atomic<bool> stopping{false};
+    std::thread acceptor;
+
+    std::mutex qmu;
+    std::condition_variable qcv;
+    std::deque<Item> queue;
+    size_t max_queue = 4096;
+
+    std::mutex live_mu;                       // serials -> live requests
+    std::unordered_map<long long, Request*> live;
+    std::atomic<long long> next_serial{1};
+
+    // stats
+    std::atomic<long long> requests{0}, items{0}, batches{0}, shed{0},
+        errors{0};
+};
+
+bool read_line(int fd, std::string& line, std::string& buf) {
+    for (;;) {
+        size_t nl = buf.find("\r\n");
+        if (nl != std::string::npos) {
+            line = buf.substr(0, nl);
+            buf.erase(0, nl + 2);
+            return true;
+        }
+        char tmp[4096];
+        ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
+        if (n <= 0) return false;
+        buf.append(tmp, n);
+        if (buf.size() > (64u << 20)) return false;   // header bomb
+    }
+}
+
+void send_all(int fd, const std::string& s) {
+    size_t off = 0;
+    while (off < s.size()) {
+        ssize_t n = ::send(fd, s.data() + off, s.size() - off, MSG_NOSIGNAL);
+        if (n <= 0) return;
+        off += n;
+    }
+}
+
+void respond(int fd, int status, const std::string& body,
+             bool keep_alive) {
+    const char* reason = status == 200 ? "OK"
+                       : status == 400 ? "Bad Request"
+                       : status == 404 ? "Not Found"
+                       : status == 501 ? "Not Implemented"
+                       : status == 503 ? "Service Unavailable"
+                       : status == 413 ? "Payload Too Large"
+                       : "Error";
+    std::string head = "HTTP/1.1 " + std::to_string(status) + " " +
+        reason + "\r\nContent-Type: application/json\r\nContent-Length: " +
+        std::to_string(body.size()) +
+        (keep_alive ? "\r\nConnection: keep-alive"
+                    : "\r\nConnection: close") + "\r\n\r\n";
+    send_all(fd, head + body);
+}
+
+std::string json_escape(const std::string& s) {
+    std::string out;
+    out.reserve(s.size() + 2);
+    for (char c : s) {
+        if (c == '"' || c == '\\') { out += '\\'; out += c; }
+        else if ((unsigned char)c < 0x20) { out += ' '; }
+        else out += c;
+    }
+    return out;
+}
+
+// strict parse of {"id": N} / {"ids": [N, ...]} — integers only.
+// returns false on anything else (caller responds 501/400).
+bool parse_ids(const std::string& body, std::vector<long long>& ids,
+               bool& unsupported) {
+    unsupported = false;
+    size_t i = 0;
+    auto skip_ws = [&] { while (i < body.size() &&
+        (body[i] == ' ' || body[i] == '\t' || body[i] == '\n' ||
+         body[i] == '\r')) i++; };
+    auto parse_int = [&](long long& v) -> bool {
+        skip_ws();
+        size_t start = i;
+        if (i < body.size() && (body[i] == '-' || body[i] == '+')) i++;
+        while (i < body.size() && isdigit((unsigned char)body[i])) i++;
+        if (i == start) return false;
+        v = std::stoll(body.substr(start, i - start));
+        return true;
+    };
+    skip_ws();
+    if (i >= body.size() || body[i] != '{') return false;
+    i++;
+    skip_ws();
+    if (body.compare(i, 4, "\"id\"") == 0) {
+        i += 4;
+        skip_ws();
+        if (i >= body.size() || body[i] != ':') return false;
+        i++;
+        long long v;
+        if (!parse_int(v)) return false;
+        ids.push_back(v);
+    } else if (body.compare(i, 5, "\"ids\"") == 0) {
+        i += 5;
+        skip_ws();
+        if (i >= body.size() || body[i] != ':') return false;
+        i++;
+        skip_ws();
+        if (i >= body.size() || body[i] != '[') return false;
+        i++;
+        skip_ws();
+        if (i < body.size() && body[i] == ']') { i++; }
+        else for (;;) {
+            long long v;
+            if (!parse_int(v)) return false;
+            ids.push_back(v);
+            skip_ws();
+            if (i < body.size() && body[i] == ',') { i++; continue; }
+            if (i < body.size() && body[i] == ']') { i++; break; }
+            return false;
+        }
+    } else {
+        // a well-formed body for the Python server (features/images)?
+        unsupported = body.find("\"features\"") != std::string::npos ||
+                      body.find("_b64\"") != std::string::npos;
+        return false;
+    }
+    skip_ws();
+    if (i >= body.size() || body[i] != '}') return false;
+    return true;
+}
+
+void handle_connection(Server* sv, int fd) {
+    // bounded reads: idle keep-alive connections wake periodically and
+    // re-check the stopping flag instead of blocking in recv forever
+    timeval tv{5, 0};
+    ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
+    std::string buf;
+    while (!sv->stopping.load()) {
+        std::string reqline;
+        if (!read_line(fd, reqline, buf)) break;
+        if (reqline.empty()) continue;
+        // headers
+        size_t content_length = 0;
+        bool keep_alive = true;
+        for (;;) {
+            std::string h;
+            if (!read_line(fd, h, buf)) { ::close(fd); return; }
+            if (h.empty()) break;
+            for (auto& c : h) c = tolower(c);
+            if (h.rfind("content-length:", 0) == 0)
+                content_length = std::stoul(h.substr(15));
+            if (h.rfind("connection:", 0) == 0 &&
+                h.find("close") != std::string::npos)
+                keep_alive = false;
+        }
+        if (content_length > (64u << 20)) {
+            respond(fd, 413, "{\"error\": \"body too large\"}", false);
+            break;
+        }
+        while (buf.size() < content_length) {
+            char tmp[65536];
+            ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
+            if (n <= 0) { ::close(fd); return; }
+            buf.append(tmp, n);
+        }
+        std::string body = buf.substr(0, content_length);
+        buf.erase(0, content_length);
+
+        if (reqline.rfind("GET /healthz", 0) == 0) {
+            respond(fd, 200, "{\"ok\": true, \"frontend\": \"native\"}",
+                    keep_alive);
+            continue;
+        }
+        if (reqline.rfind("GET /stats", 0) == 0) {
+            long long b = sv->batches.load(), it = sv->items.load();
+            std::string s = "{\"frontend\": \"native\", \"requests\": " +
+                std::to_string(sv->requests.load()) + ", \"items\": " +
+                std::to_string(it) + ", \"batches\": " +
+                std::to_string(b) + ", \"mean_batch_size\": " +
+                std::to_string(b ? double(it) / b : 0.0) +
+                ", \"shed\": " + std::to_string(sv->shed.load()) +
+                ", \"errors\": " + std::to_string(sv->errors.load()) + "}";
+            respond(fd, 200, s, keep_alive);
+            continue;
+        }
+        if (reqline.rfind("POST /v1/caption", 0) != 0) {
+            respond(fd, 404, "{\"error\": \"no route\"}", keep_alive);
+            continue;
+        }
+        sv->requests.fetch_add(1);
+        std::vector<long long> ids;
+        bool unsupported = false;
+        if (!parse_ids(body, ids, unsupported) || ids.empty()) {
+            sv->errors.fetch_add(1);
+            if (unsupported)
+                respond(fd, 501,
+                        "{\"error\": \"native frontend serves id "
+                        "requests; use the python server for features/"
+                        "images\"}", keep_alive);
+            else
+                respond(fd, 400, "{\"error\": \"body needs id or ids "
+                        "(integers)\"}", keep_alive);
+            continue;
+        }
+
+        Request req;
+        req.serial = sv->next_serial.fetch_add(1);
+        req.ids = std::move(ids);
+        req.captions.resize(req.ids.size());
+        {
+            std::lock_guard<std::mutex> lk(sv->live_mu);
+            sv->live[req.serial] = &req;
+        }
+        {
+            std::unique_lock<std::mutex> lk(sv->qmu);
+            if (sv->queue.size() + req.ids.size() > sv->max_queue) {
+                lk.unlock();
+                std::lock_guard<std::mutex> lk2(sv->live_mu);
+                sv->live.erase(req.serial);
+                sv->shed.fetch_add(1);
+                respond(fd, 503, "{\"error\": \"queue full\"}",
+                        keep_alive);
+                continue;
+            }
+            for (size_t s = 0; s < req.ids.size(); s++)
+                sv->queue.push_back(Item{req.ids[s], &req, s});
+        }
+        sv->qcv.notify_all();
+
+        {   // wait for the pump to fill every slot (or error the request)
+            std::unique_lock<std::mutex> lk(req.mu);
+            req.cv.wait(lk, [&] { return req.done() ||
+                                         sv->stopping.load(); });
+        }
+        {
+            std::lock_guard<std::mutex> lk(sv->live_mu);
+            sv->live.erase(req.serial);
+        }
+        if (req.error_status) {
+            sv->errors.fetch_add(1);
+            respond(fd, req.error_status,
+                    "{\"error\": \"" + json_escape(req.error_msg) + "\"}",
+                    keep_alive);
+        } else if (!req.done()) {        // server stopping mid-request
+            respond(fd, 503, "{\"error\": \"shutting down\"}", false);
+            break;
+        } else {
+            std::string out = "{\"captions\": [";
+            for (size_t s = 0; s < req.captions.size(); s++) {
+                if (s) out += ", ";
+                out += "\"" + json_escape(req.captions[s]) + "\"";
+            }
+            out += "]}";
+            respond(fd, 200, out, keep_alive);
+        }
+        if (!keep_alive) break;
+    }
+    ::close(fd);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* lrcn_serve_start(const char* host, int port, int n_threads,
+                       int max_queue) {
+    auto* sv = new Server();
+    sv->max_queue = max_queue > 0 ? (size_t)max_queue : 4096;
+    sv->listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (sv->listen_fd < 0) { delete sv; return nullptr; }
+    int one = 1;
+    ::setsockopt(sv->listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof one);
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    ::inet_pton(AF_INET, host, &addr.sin_addr);
+    if (::bind(sv->listen_fd, (sockaddr*)&addr, sizeof addr) < 0 ||
+        ::listen(sv->listen_fd, 1024) < 0) {
+        ::close(sv->listen_fd);
+        delete sv;
+        return nullptr;
+    }
+    socklen_t len = sizeof addr;
+    ::getsockname(sv->listen_fd, (sockaddr*)&addr, &len);
+    sv->port = ntohs(addr.sin_port);
+
+    int threads = n_threads > 0 ? n_threads : 128;
+    sv->acceptor = std::thread([sv, threads] {
+        // thread-per-connection bounded by a semaphore-ish counter:
+        // handler threads are detached; the stopping flag + closed
+        // listener end them.
+        std::atomic<int>* active = new std::atomic<int>(0);
+        while (!sv->stopping.load()) {
+            int fd = ::accept(sv->listen_fd, nullptr, nullptr);
+            if (fd < 0) break;
+            if (active->load() >= threads) {     // saturated: shed
+                sv->shed.fetch_add(1);
+                respond(fd, 503, "{\"error\": \"connection limit\"}",
+                        false);
+                ::close(fd);
+                continue;
+            }
+            active->fetch_add(1);
+            std::thread([sv, fd, active] {
+                handle_connection(sv, fd);
+                active->fetch_sub(1);
+            }).detach();
+        }
+    });
+    return sv;
+}
+
+int lrcn_serve_port(void* h) { return ((Server*)h)->port; }
+
+// Pull a batch: block up to wait_ms for the first item, then drain up to
+// max_n without waiting. Returns n (0 on timeout/stop).
+int lrcn_serve_next(void* h, long long* ids, long long* reqs,
+                    long long* slots, int max_n, int wait_ms) {
+    auto* sv = (Server*)h;
+    std::unique_lock<std::mutex> lk(sv->qmu);
+    if (sv->queue.empty()) {
+        sv->qcv.wait_for(lk, std::chrono::milliseconds(wait_ms), [&] {
+            return !sv->queue.empty() || sv->stopping.load(); });
+    }
+    int n = 0;
+    while (n < max_n && !sv->queue.empty()) {
+        Item it = sv->queue.front();
+        sv->queue.pop_front();
+        ids[n] = it.id;
+        reqs[n] = it.req->serial;
+        slots[n] = (long long)it.slot;
+        n++;
+    }
+    if (n) {
+        sv->items.fetch_add(n);
+        sv->batches.fetch_add(1);
+    }
+    return n;
+}
+
+// Fill caption slots; flushes any request whose slots are all filled.
+void lrcn_serve_respond(void* h, const long long* reqs,
+                        const long long* slots, const char** captions,
+                        int n) {
+    auto* sv = (Server*)h;
+    std::lock_guard<std::mutex> live(sv->live_mu);
+    for (int i = 0; i < n; i++) {
+        auto it = sv->live.find(reqs[i]);
+        if (it == sv->live.end()) continue;     // connection went away
+        Request* r = it->second;
+        std::lock_guard<std::mutex> lk(r->mu);
+        if (r->error_status) continue;
+        r->captions[(size_t)slots[i]] = captions[i];
+        r->filled++;
+        if (r->done()) r->cv.notify_all();
+    }
+}
+
+// Fail one request (e.g. unknown id) with an HTTP status.
+void lrcn_serve_error(void* h, long long req, int status,
+                      const char* msg) {
+    auto* sv = (Server*)h;
+    std::lock_guard<std::mutex> live(sv->live_mu);
+    auto it = sv->live.find(req);
+    if (it == sv->live.end()) return;
+    Request* r = it->second;
+    std::lock_guard<std::mutex> lk(r->mu);
+    r->error_status = status;
+    r->error_msg = msg ? msg : "error";
+    r->cv.notify_all();
+}
+
+void lrcn_serve_stop(void* h) {
+    auto* sv = (Server*)h;
+    sv->stopping.store(true);
+    ::shutdown(sv->listen_fd, SHUT_RDWR);
+    ::close(sv->listen_fd);
+    sv->qcv.notify_all();
+    {   // wake every waiting connection thread
+        std::lock_guard<std::mutex> live(sv->live_mu);
+        for (auto& [serial, r] : sv->live) {
+            std::lock_guard<std::mutex> lk(r->mu);
+            r->cv.notify_all();
+        }
+    }
+    if (sv->acceptor.joinable()) sv->acceptor.join();
+    // connection threads are detached and may wake from their 5s recv
+    // timeout AFTER stop returns; the Server object is deliberately
+    // leaked (one small allocation per process lifetime) so a late
+    // waker can never touch freed memory.
+    std::this_thread::sleep_for(std::chrono::milliseconds(50));
+}
+
+}  // extern "C"

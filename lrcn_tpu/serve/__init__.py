@@ -10,3 +10,10 @@ from lrcn_tpu.serve.service import CaptionService
 
 __all__ = ["BatcherStats", "CaptionService", "DynamicBatcher",
            "make_server"]
+
+
+def native_frontend(*args, **kwargs):
+    """Construct the C++ HTTP front-end (serve/native_http.py); raises
+    if the native library cannot build/load."""
+    from lrcn_tpu.serve.native_http import NativeFrontend
+    return NativeFrontend(*args, **kwargs)

@@ -1,0 +1,126 @@
+"""Native (C++) HTTP front-end: correctness against the Python server.
+
+Per-request work lives in native/httpserve.cpp; Python only runs the
+batched decode.  Served captions must equal the offline decoder's, and
+the error surface (400/404/501/stats) must behave like the Python
+front-end's where the contract overlaps.
+"""
+
+import http.client
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lrcn_tpu.config import LRCNConfig
+from lrcn_tpu.core.vocab import Vocab
+from lrcn_tpu.data.feature_store import FeatureStore
+from lrcn_tpu.models import lrcn
+from lrcn_tpu.native import httpserve_library
+from lrcn_tpu.serve import CaptionService
+
+pytestmark = pytest.mark.skipif(httpserve_library() is None,
+                                reason="native httpserve unavailable")
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                     cnn_feature_dim=8)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    feats = {100 + i: np.abs(rng.standard_normal(
+        cfg.cnn_feature_dim)).astype(np.float32) for i in range(12)}
+    store = FeatureStore.from_dict(
+        {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                        max_words=8, decode_batch=8,
+                        compute_dtype=jnp.float32)
+    svc.warmup()
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=64,
+                        wait_ms=2)
+    yield fe, svc
+    fe.stop()
+    svc.close()
+
+
+def _request(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    try:
+        conn.request(method, path,
+                     body=json.dumps(body) if body is not None else None,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read() or b"{}")
+    finally:
+        conn.close()
+
+
+def test_native_healthz_and_routes(frontend):
+    fe, _ = frontend
+    status, out = _request(fe.port, "GET", "/healthz")
+    assert status == 200 and out["ok"] and out["frontend"] == "native"
+    status, _ = _request(fe.port, "GET", "/nope")
+    assert status == 404
+
+
+def test_native_captions_match_service(frontend):
+    fe, svc = frontend
+    expected = svc.caption_ids([100, 101, 102])
+
+    status, out = _request(fe.port, "POST", "/v1/caption", {"id": 100})
+    assert status == 200 and out["captions"] == expected[:1]
+
+    status, out = _request(fe.port, "POST", "/v1/caption",
+                           {"ids": [100, 101, 102]})
+    assert status == 200 and out["captions"] == expected
+
+
+def test_native_error_surface(frontend):
+    fe, _ = frontend
+    status, out = _request(fe.port, "POST", "/v1/caption", {"id": 99999})
+    assert status == 400 and "unknown image id" in out["error"]
+    status, out = _request(fe.port, "POST", "/v1/caption", {"wrong": 1})
+    assert status == 400
+    # feature/image bodies are the Python server's job
+    status, out = _request(fe.port, "POST", "/v1/caption",
+                           {"features": [[0.1] * 8]})
+    assert status == 501 and "python" in out["error"]
+    status, out = _request(fe.port, "POST", "/v1/caption",
+                           {"image_b64": "abcd"})
+    assert status == 501
+
+
+def test_native_concurrent_clients_coalesce(frontend):
+    fe, svc = frontend
+    expected = {i: svc.caption_ids([100 + (i % 12)])[0] for i in range(12)}
+    results = {}
+
+    def client(i):
+        status, out = _request(fe.port, "POST", "/v1/caption",
+                               {"id": 100 + (i % 12)})
+        results[i] = (status, out["captions"][0])
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 32
+    for i, (status, caption) in results.items():
+        assert status == 200
+        assert caption == expected[i % 12]
+
+    status, stats = _request(fe.port, "GET", "/stats")
+    assert status == 200
+    assert stats["frontend"] == "native"
+    assert stats["items"] >= 32
+    # coalescing: strictly fewer device batches than items
+    assert stats["batches"] < stats["items"], stats

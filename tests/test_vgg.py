@@ -278,7 +278,10 @@ def test_extract_features_survives_sigkill(tmp_path):
     rng = np.random.default_rng(11)
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
-    n_images = 96
+    # enough groups that the kill lands mid-run even when the polling
+    # thread is starved for tens of seconds by a loaded CI machine
+    # (observed: at 96 images the child occasionally finished first)
+    n_images = 240
     for i in range(n_images):
         Image.fromarray(rng.integers(0, 255, (230, 250, 3))
                         .astype(np.uint8)).save(
