@@ -114,7 +114,8 @@ def httpserve_library() -> ctypes.CDLL | None:
         LL = ctypes.c_longlong
         lib.lrcn_serve_start.restype = ctypes.c_void_p
         lib.lrcn_serve_start.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                         ctypes.c_int, ctypes.c_int]
+                                         ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int]
         lib.lrcn_serve_port.restype = ctypes.c_int
         lib.lrcn_serve_port.argtypes = [ctypes.c_void_p]
         lib.lrcn_serve_next.restype = ctypes.c_int

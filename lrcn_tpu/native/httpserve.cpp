@@ -77,9 +77,14 @@ struct Server {
     // stats
     std::atomic<long long> requests{0}, items{0}, batches{0}, shed{0},
         errors{0};
+
+    int request_timeout_ms = 60000;   // condvar wait bound -> 504
 };
 
-bool read_line(int fd, std::string& line, std::string& buf) {
+bool server_stopping(const Server* sv) { return sv->stopping.load(); }
+
+bool read_line(const Server* sv, int fd, std::string& line,
+               std::string& buf) {
     for (;;) {
         size_t nl = buf.find("\r\n");
         if (nl != std::string::npos) {
@@ -89,7 +94,16 @@ bool read_line(int fd, std::string& line, std::string& buf) {
         }
         char tmp[4096];
         ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
-        if (n <= 0) return false;
+        if (n == 0) return false;                     // peer closed
+        if (n < 0) {
+            // SO_RCVTIMEO expiry: idle keep-alive wakeup — re-check the
+            // stopping flag and keep waiting (a pooled client may idle
+            // far longer than the 5s poll interval)
+            if ((errno == EAGAIN || errno == EWOULDBLOCK ||
+                 errno == EINTR) && !server_stopping(sv))
+                continue;
+            return false;
+        }
         buf.append(tmp, n);
         if (buf.size() > (64u << 20)) return false;   // header bomb
     }
@@ -143,11 +157,20 @@ bool parse_ids(const std::string& body, std::vector<long long>& ids,
          body[i] == '\r')) i++; };
     auto parse_int = [&](long long& v) -> bool {
         skip_ws();
-        size_t start = i;
-        if (i < body.size() && (body[i] == '-' || body[i] == '+')) i++;
-        while (i < body.size() && isdigit((unsigned char)body[i])) i++;
-        if (i == start) return false;
-        v = std::stoll(body.substr(start, i - start));
+        bool neg = false;
+        if (i < body.size() && (body[i] == '-' || body[i] == '+')) {
+            neg = body[i] == '-';
+            i++;
+        }
+        size_t digits = 0;
+        v = 0;
+        while (i < body.size() && isdigit((unsigned char)body[i])) {
+            if (++digits > 18) return false;    // overflow-safe bound
+            v = v * 10 + (body[i] - '0');
+            i++;
+        }
+        if (digits == 0) return false;          // bare sign / no number
+        if (neg) v = -v;
         return true;
     };
     skip_ws();
@@ -200,21 +223,47 @@ void handle_connection(Server* sv, int fd) {
     std::string buf;
     while (!sv->stopping.load()) {
         std::string reqline;
-        if (!read_line(fd, reqline, buf)) break;
+        if (!read_line(sv, fd, reqline, buf)) break;
         if (reqline.empty()) continue;
-        // headers
+        // headers (exception-free parsing: an uncaught throw in this
+        // detached thread would std::terminate the whole process)
         size_t content_length = 0;
         bool keep_alive = true;
+        bool bad_headers = false, chunked = false;
         for (;;) {
             std::string h;
-            if (!read_line(fd, h, buf)) { ::close(fd); return; }
+            if (!read_line(sv, fd, h, buf)) { ::close(fd); return; }
             if (h.empty()) break;
             for (auto& c : h) c = tolower(c);
-            if (h.rfind("content-length:", 0) == 0)
-                content_length = std::stoul(h.substr(15));
+            if (h.rfind("content-length:", 0) == 0) {
+                content_length = 0;
+                size_t digits = 0, j = 15;
+                while (j < h.size() && (h[j] == ' ' || h[j] == '\t')) j++;
+                while (j < h.size() && isdigit((unsigned char)h[j])) {
+                    if (++digits > 12) { bad_headers = true; break; }
+                    content_length = content_length * 10 + (h[j] - '0');
+                    j++;
+                }
+                while (j < h.size() && (h[j] == ' ' || h[j] == '\t' ||
+                                        h[j] == '\r')) j++;
+                if (digits == 0 || j != h.size()) bad_headers = true;
+            }
+            if (h.rfind("transfer-encoding:", 0) == 0 &&
+                h.find("chunked") != std::string::npos)
+                chunked = true;
             if (h.rfind("connection:", 0) == 0 &&
                 h.find("close") != std::string::npos)
                 keep_alive = false;
+        }
+        if (bad_headers) {
+            respond(fd, 400, "{\"error\": \"bad content-length\"}", false);
+            break;
+        }
+        if (chunked) {   // not implemented; closing avoids stream desync
+            respond(fd, 501,
+                    "{\"error\": \"chunked bodies not supported\"}",
+                    false);
+            break;
         }
         if (content_length > (64u << 20)) {
             respond(fd, 413, "{\"error\": \"body too large\"}", false);
@@ -290,10 +339,12 @@ void handle_connection(Server* sv, int fd) {
         }
         sv->qcv.notify_all();
 
+        bool timed_out = false;
         {   // wait for the pump to fill every slot (or error the request)
             std::unique_lock<std::mutex> lk(req.mu);
-            req.cv.wait(lk, [&] { return req.done() ||
-                                         sv->stopping.load(); });
+            timed_out = !req.cv.wait_for(
+                lk, std::chrono::milliseconds(sv->request_timeout_ms),
+                [&] { return req.done() || sv->stopping.load(); });
         }
         {
             std::lock_guard<std::mutex> lk(sv->live_mu);
@@ -304,6 +355,11 @@ void handle_connection(Server* sv, int fd) {
             respond(fd, req.error_status,
                     "{\"error\": \"" + json_escape(req.error_msg) + "\"}",
                     keep_alive);
+        } else if (timed_out && !req.done()) {
+            sv->errors.fetch_add(1);
+            respond(fd, 504, "{\"error\": \"request timed out waiting "
+                    "for the device\"}", false);
+            break;                       // slots may still fill; drop conn
         } else if (!req.done()) {        // server stopping mid-request
             respond(fd, 503, "{\"error\": \"shutting down\"}", false);
             break;
@@ -326,9 +382,10 @@ void handle_connection(Server* sv, int fd) {
 extern "C" {
 
 void* lrcn_serve_start(const char* host, int port, int n_threads,
-                       int max_queue) {
+                       int max_queue, int request_timeout_ms) {
     auto* sv = new Server();
     sv->max_queue = max_queue > 0 ? (size_t)max_queue : 4096;
+    if (request_timeout_ms > 0) sv->request_timeout_ms = request_timeout_ms;
     sv->listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
     if (sv->listen_fd < 0) { delete sv; return nullptr; }
     int one = 1;
@@ -336,7 +393,13 @@ void* lrcn_serve_start(const char* host, int port, int n_threads,
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
     addr.sin_port = htons((uint16_t)port);
-    ::inet_pton(AF_INET, host, &addr.sin_addr);
+    if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+        // refuse non-numeric hosts: a zeroed sin_addr would silently
+        // bind 0.0.0.0 (all interfaces) — the caller resolves names
+        ::close(sv->listen_fd);
+        delete sv;
+        return nullptr;
+    }
     if (::bind(sv->listen_fd, (sockaddr*)&addr, sizeof addr) < 0 ||
         ::listen(sv->listen_fd, 1024) < 0) {
         ::close(sv->listen_fd);
@@ -355,7 +418,14 @@ void* lrcn_serve_start(const char* host, int port, int n_threads,
         std::atomic<int>* active = new std::atomic<int>(0);
         while (!sv->stopping.load()) {
             int fd = ::accept(sv->listen_fd, nullptr, nullptr);
-            if (fd < 0) break;
+            if (fd < 0) {
+                if (sv->stopping.load()) break;        // listener closed
+                if (errno == EMFILE || errno == ENFILE)  // fd pressure:
+                    std::this_thread::sleep_for(         // shed + retry
+                        std::chrono::milliseconds(10));
+                if (errno == EBADF || errno == EINVAL) break;
+                continue;   // ECONNABORTED / EINTR / transient
+            }
             if (active->load() >= threads) {     // saturated: shed
                 sv->shed.fetch_add(1);
                 respond(fd, 503, "{\"error\": \"connection limit\"}",

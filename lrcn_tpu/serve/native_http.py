@@ -31,31 +31,36 @@ _LL = ctypes.c_longlong
 class NativeFrontend:
     """Bind the C++ HTTP server to a ``CaptionService``'s decode path.
 
-    Requires the service to have a feature store (the id fast path; the
-    HBM-resident table makes the device feed int32-only end to end).
+    Requires the service's HBM-resident feature table (the id fast
+    path: the device feed is int32-only end to end).
     """
 
     def __init__(self, service: CaptionService, host: str = "0.0.0.0",
                  port: int = 8000, n_threads: int = 128,
                  max_queue: int = 4096, wait_ms: int = 3,
                  max_inflight: int = 2):
-        if service.store is None:
-            raise RuntimeError("native frontend needs a feature store "
-                               "(caption-by-id is its fast path)")
+        if service._table is None:
+            raise RuntimeError(
+                "native frontend needs the HBM-resident feature table "
+                "(a non-empty store with resident_store=True) — "
+                "caption-by-id is its fast path")
         lib = httpserve_library()
         if lib is None:
             raise RuntimeError("native httpserve library unavailable "
                                "(g++ missing or LRCN_NATIVE=0)")
         self.service = service
         self._lib = lib
-        self._h = lib.lrcn_serve_start(host.encode(), port, n_threads,
-                                       max_queue)
+        # the C++ side only binds numeric addresses (a bad string would
+        # otherwise silently become 0.0.0.0) — resolve names here
+        import socket as _socket
+
+        host_ip = _socket.gethostbyname(host)
+        self._h = lib.lrcn_serve_start(
+            host_ip.encode(), port, n_threads, max_queue,
+            int(service.request_timeout_s * 1000))
         if not self._h:
-            raise RuntimeError(f"could not bind {host}:{port}")
+            raise RuntimeError(f"could not bind {host_ip}:{port}")
         self.port = lib.lrcn_serve_port(self._h)
-        self._row_of = {int(i): int(r) for i, r in zip(
-            service.store.ids(),
-            service.store.rows(service.store.ids()))}
         self._wait_ms = wait_ms
         self._max_inflight = max_inflight
         self._stop = threading.Event()
@@ -75,45 +80,60 @@ class NativeFrontend:
 
     def _run(self) -> None:
         svc = self.service
+        store = svc.store
         batch_cap = svc.decode_batch
         pending: deque = deque()
         while not self._stop.is_set():
-            n, ids, reqs, slots = self._pull(batch_cap)
-            if n:
-                rows, keep = [], []
-                for i in range(n):
-                    row = self._row_of.get(int(ids[i]))
-                    if row is None:     # unknown id fails its request
+            n = 0
+            try:
+                n, ids, reqs, slots = self._pull(batch_cap)
+                if n:
+                    batch_ids = [int(ids[i]) for i in range(n)]
+                    unknown = set(store.missing(batch_ids))
+                    keep = [i for i in range(n)
+                            if batch_ids[i] not in unknown]
+                    for i in range(n):
+                        if batch_ids[i] in unknown:
+                            self._lib.lrcn_serve_error(
+                                self._h, reqs[i], 400,
+                                f"unknown image id {batch_ids[i]}"
+                                .encode())
+                    if keep:
+                        rows = store.rows([batch_ids[i] for i in keep])
+                        raw = svc._decode_rows_fn(
+                            [int(r) for r in rows])   # issue, don't wait
+                        pending.append((raw, [reqs[i] for i in keep],
+                                        [slots[i] for i in keep]))
+                # fetch completed batches; drain fully when idle
+                while pending and (len(pending) > self._max_inflight
+                                   or (n == 0 and pending)):
+                    raw, preqs, pslots = pending.popleft()
+                    captions = svc._decode_finalize(raw)
+                    self._respond(preqs, pslots, captions)
+            except Exception as e:   # noqa: BLE001 — the pump must
+                # outlive ANY batch failure: fail the affected requests
+                # (the C++ side 504s anything we lose track of) and keep
+                # serving
+                print(f"native pump: batch failed: {e!r}", flush=True)
+                for raw, preqs, _ in pending:
+                    for r in preqs:
                         self._lib.lrcn_serve_error(
-                            self._h, reqs[i], 400,
-                            f"unknown image id {int(ids[i])}".encode())
-                        continue
-                    rows.append(row)
-                    keep.append(i)
-                if keep:
-                    raw = svc._decode_rows_fn(rows)   # issue, don't wait
-                    pending.append((raw, [reqs[i] for i in keep],
-                                    [slots[i] for i in keep]))
-            # fetch completed batches; drain fully when idle
-            while pending and (len(pending) > self._max_inflight
-                               or (n == 0 and pending)):
-                raw, preqs, pslots = pending.popleft()
-                captions = svc._decode_finalize(raw)
-                k = len(captions)
-                reqs_arr = (_LL * k)(*preqs)
-                slots_arr = (_LL * k)(*pslots)
-                caps_arr = (ctypes.c_char_p * k)(
-                    *[c.encode() for c in captions])
-                self._lib.lrcn_serve_respond(self._h, reqs_arr, slots_arr,
-                                             caps_arr, k)
+                            self._h, r, 500, b"decode failed")
+                pending.clear()
+                if n:
+                    for i in range(n):
+                        self._lib.lrcn_serve_error(
+                            self._h, reqs[i], 500, b"decode failed")
         # flush whatever was still in flight at stop
         while pending:
             raw, preqs, pslots = pending.popleft()
-            captions = svc._decode_finalize(raw)
-            k = len(captions)
-            self._lib.lrcn_serve_respond(
-                self._h, (_LL * k)(*preqs), (_LL * k)(*pslots),
-                (ctypes.c_char_p * k)(*[c.encode() for c in captions]), k)
+            self._respond(preqs, pslots, svc._decode_finalize(raw))
+
+    def _respond(self, preqs, pslots, captions) -> None:
+        k = len(captions)
+        self._lib.lrcn_serve_respond(
+            self._h, (_LL * k)(*preqs), (_LL * k)(*pslots),
+            (ctypes.c_char_p * k)(*[c.encode() for c in captions]), k)
 
     # --- ops ---
 

@@ -101,8 +101,11 @@ def test_native_concurrent_clients_coalesce(frontend):
     fe, svc = frontend
     expected = {i: svc.caption_ids([100 + (i % 12)])[0] for i in range(12)}
     results = {}
+    barrier = threading.Barrier(32)   # overlap the burst so requests
+    # genuinely coexist in the C++ queue (coalescing is the assertion)
 
     def client(i):
+        barrier.wait(timeout=30)
         status, out = _request(fe.port, "POST", "/v1/caption",
                                {"id": 100 + (i % 12)})
         results[i] = (status, out["captions"][0])
@@ -124,3 +127,75 @@ def test_native_concurrent_clients_coalesce(frontend):
     assert stats["items"] >= 32
     # coalescing: strictly fewer device batches than items
     assert stats["batches"] < stats["items"], stats
+
+
+def _raw_request(port, raw: bytes) -> bytes:
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    try:
+        s.sendall(raw)
+        out = b""
+        s.settimeout(10)
+        try:
+            while b"\r\n\r\n" not in out or True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                out += chunk
+                if b"\r\n\r\n" in out:
+                    # got headers + (short) body; enough for the asserts
+                    break
+        except TimeoutError:
+            pass
+        return out
+    finally:
+        s.close()
+
+
+def test_native_survives_malformed_requests(frontend):
+    """Regression: these exact payloads used to std::terminate the whole
+    process (uncaught stoll/stoul in detached threads)."""
+    fe, _ = frontend
+    # out-of-range integer id
+    status, out = _request(fe.port, "POST", "/v1/caption",
+                           {"id": 99999999999999999999999})
+    assert status == 400
+    # bare-sign id (raw body: json.dumps would reject it)
+    body = b'{"id": -}'
+    raw = (b"POST /v1/caption HTTP/1.1\r\nHost: x\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+           + body)
+    assert b"400" in _raw_request(fe.port, raw).split(b"\r\n")[0]
+    # garbage Content-Length
+    raw = (b"POST /v1/caption HTTP/1.1\r\nHost: x\r\n"
+           b"Content-Length: abc\r\n\r\n")
+    assert b"400" in _raw_request(fe.port, raw).split(b"\r\n")[0]
+    # chunked transfer encoding: refused, not desynced
+    raw = (b"POST /v1/caption HTTP/1.1\r\nHost: x\r\n"
+           b"Transfer-Encoding: chunked\r\n\r\n"
+           b"9\r\n{\"id\": 5}\r\n0\r\n\r\n")
+    assert b"501" in _raw_request(fe.port, raw).split(b"\r\n")[0]
+    # the server is still alive and serving
+    status, out = _request(fe.port, "GET", "/healthz")
+    assert status == 200 and out["ok"]
+
+
+def test_native_pump_survives_decode_failure(frontend, monkeypatch):
+    """A failing device batch 500s its requests; the pump keeps serving."""
+    fe, svc = frontend
+
+    real = svc._decode_rows_fn
+    calls = {"n": 0}
+
+    def failing(rows):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected device failure")
+        return real(rows)
+
+    monkeypatch.setattr(svc, "_decode_rows_fn", failing)
+    status, out = _request(fe.port, "POST", "/v1/caption", {"id": 100})
+    assert status == 500 and "decode failed" in out["error"]
+    status, out = _request(fe.port, "POST", "/v1/caption", {"id": 100})
+    assert status == 200 and len(out["captions"]) == 1
