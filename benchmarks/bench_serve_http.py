@@ -44,10 +44,14 @@ def client_proc(port, n_threads, per_thread, out_queue):
     out_queue.put(lat)
 
 
-def run_load(port, n_procs=4, n_threads=32, per_thread=8):
-    q = mp.Queue()
-    procs = [mp.Process(target=client_proc,
-                        args=(port, n_threads, per_thread, q))
+def run_load(port, n_procs=4, n_threads=32, per_thread=30):
+    # spawn: clean client processes (forking the TPU-initialized parent
+    # inherits its threads/locks); also excludes process startup from
+    # the measured window via the ready barrier below
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=client_proc,
+                         args=(port, n_threads, per_thread, q))
              for _ in range(n_procs)]
     t0 = time.perf_counter()
     for p in procs:
@@ -98,6 +102,7 @@ def main():
         threading.Thread(target=server.serve_forever, daemon=True).start()
         run_load(port, n_procs=1, per_thread=2)        # warm
         rate, p50, p99 = run_load(port)
+        server_stats = json.dumps(svc.stats().get("decode_ids", {}))
         print(f"python frontend: {rate:8,.0f} captions/s  "
               f"p50={p50:.0f}ms p99={p99:.0f}ms")
         server.shutdown()

@@ -102,8 +102,15 @@ def make_handler(service: CaptionService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # the stdlib default listen backlog of 5 RSTs bursts of concurrent
+    # connects long before the service is actually saturated
+    request_queue_size = 512
+    daemon_threads = True
+
+
 def make_server(service: CaptionService, host: str = "0.0.0.0",
                 port: int = 8000) -> ThreadingHTTPServer:
     """Bind and return the server (``.serve_forever()`` to run;
     ``port=0`` picks a free port — see ``server.server_address``)."""
-    return ThreadingHTTPServer((host, port), make_handler(service))
+    return _Server((host, port), make_handler(service))

@@ -263,12 +263,13 @@ class CaptionService:
             images.append(resize_crop(np.asarray(img)))
         return self.caption_images(images)
 
-    def _await_all(self, futs: list) -> list:
+    def _await_all(self, futs: list, timeout_s: float | None = None
+                   ) -> list:
         """Wait for every future; on timeout CANCEL the not-yet-batched
         remainder so the device never dispatches work whose client is
         gone (under overload that dead work would livelock throughput)."""
         try:
-            return [f.result(timeout=self.request_timeout_s)
+            return [f.result(timeout=timeout_s or self.request_timeout_s)
                     for f in futs]
         except Exception:
             for f in futs:
@@ -277,14 +278,26 @@ class CaptionService:
 
     # --- ops ---
 
-    def warmup(self) -> None:
-        """Compile every serving program before taking traffic."""
-        self.caption_features(
-            [np.zeros(self.cfg.cnn_feature_dim, np.float32)])
+    def warmup(self, timeout_s: float = 600.0) -> None:
+        """Compile every serving program before taking traffic.
+
+        Uses its own generous ``timeout_s``: a cold first compile on a
+        slow runtime can exceed ``request_timeout_s`` (which bounds
+        STEADY-STATE requests, not compilation — warming up is exactly
+        when that would misfire)."""
+        self._await_all(
+            [self._decode.submit(
+                np.zeros(self.cfg.cnn_feature_dim, np.float32))],
+            timeout_s=timeout_s)
         if self._rows_batcher is not None:
-            self._rows_batcher.submit(0).result()
+            self._await_all([self._rows_batcher.submit(0)],
+                            timeout_s=timeout_s)
         if self._encode is not None:
-            self.caption_images([np.zeros((224, 224, 3), np.uint8)])
+            feat = self._await_all(
+                [self._encode.submit(np.zeros((224, 224, 3), np.uint8))],
+                timeout_s=timeout_s)[0]
+            self._await_all([self._decode.submit(feat)],
+                            timeout_s=timeout_s)
 
     def stats(self) -> dict:
         out = {"decode": self._decode.stats.snapshot()}
