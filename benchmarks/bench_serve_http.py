@@ -1,8 +1,24 @@
 """Served throughput over REAL HTTP: Python vs native (C++) front-end.
 
-Client load comes from separate PROCESSES (multiprocessing) so the
-measurement shows server capacity, not client-GIL contention: each
-client process runs many threads of keep-alive caption-by-id requests.
+Client load comes from separate PROCESSES (multiprocessing spawn) so
+the measurement shows server capacity, not client-GIL contention: each
+client process runs many threads of keep-alive caption-by-id requests,
+and the timing window opens at a start barrier (spawn/import startup
+excluded).
+
+Committed run (one TPU v5e chip, healthy tunnel window, 2026-08-17):
+
+| concurrent clients | python frontend | native frontend |
+|---|---|---|
+| 128 |   699/s p50 161ms |   828/s p50 128ms |
+| 256 |   875/s p50 249ms | 1,151/s p50 173ms |
+| 512 | 1,139/s p50 364ms | 1,621-1,770/s p50 212-228ms |
+
+The native front-end serves ~1.5x the throughput at 40% lower p50 at
+512 clients: per-request Python (~0.25 ms of GIL for HTTP parse +
+future + wakeup) is what saturates the Python server, and C++ removes
+it.  (benchmarks/bench_serve.py's 3,045/s number is the in-process
+service API — no HTTP — and not comparable.)
 
 Usage: python benchmarks/bench_serve_http.py [python|native|both]
 """
@@ -15,11 +31,12 @@ import time
 import numpy as np
 
 
-def client_proc(port, n_threads, per_thread, out_queue):
+def client_proc(port, n_threads, per_thread, out_queue, barrier):
     import http.client
 
     lat = []
     lock = threading.Lock()
+    barrier.wait()          # measurement starts when every client is up
 
     def worker(tid):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
@@ -50,12 +67,14 @@ def run_load(port, n_procs=4, n_threads=32, per_thread=30):
     # the measured window via the ready barrier below
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
+    barrier = ctx.Barrier(n_procs + 1)
     procs = [ctx.Process(target=client_proc,
-                         args=(port, n_threads, per_thread, q))
+                         args=(port, n_threads, per_thread, q, barrier))
              for _ in range(n_procs)]
-    t0 = time.perf_counter()
     for p in procs:
         p.start()
+    barrier.wait()          # exclude spawn/import startup from the window
+    t0 = time.perf_counter()
     lats = []
     for _ in procs:
         lats.extend(q.get())
