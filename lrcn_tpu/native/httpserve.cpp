@@ -1,8 +1,10 @@
 // Native HTTP front-end for the caption service.
 //
-// Motivation (benchmarks/bench_serve.py): the pure-Python server tops out
-// near ~3k served captions/s because every request pays ~0.25 ms of
-// Python under the GIL (HTTP parse, future, queue hop, thread wakeup).
+// Motivation (benchmarks/bench_serve_http.py): every request on the
+// pure-Python server pays ~0.25 ms of Python under the GIL (HTTP parse,
+// future, queue hop, thread wakeup); at 512 concurrent HTTP clients it
+// serves 1,139 captions/s at p50 364 ms vs 1,621-1,770/s at p50 ~220 ms
+// through this front-end.
 // Here C++ owns the per-REQUEST work — accept, HTTP/1.1 parsing, the
 // id-request JSON, queueing, response framing — and Python enters once
 // per coalesced BATCH: it pulls up to max_n (id, request) pairs, runs the
