@@ -175,7 +175,7 @@ def bench_train() -> dict:
 BENCHES = {"decode": bench_decode, "vgg": bench_vgg, "train": bench_train}
 
 
-def _run_watchdogged(name: str, timeout_s: int = 480,
+def _run_watchdogged(name: str, timeout_s: int = 360,
                      attempts: int = 2) -> bool:
     """Run one metric in a CHILD process with a hard timeout.
 
