@@ -64,6 +64,11 @@ class NativeFrontend:
         self.port = lib.lrcn_serve_port(self._h)
         self._wait_ms = wait_ms
         self._max_inflight = max_inflight
+        # pre-compile every burst shape so traffic never recompiles
+        if service.mesh is None:
+            for g in range(2, service.MAX_DECODE_GROUPS + 1):
+                service._decode_finalize(service._decode_rows_grouped(
+                    [0] * (service.decode_batch * (g - 1) + 1)))
         self._stop = threading.Event()
         self._pump = threading.Thread(target=self._run, name="lrcn-pump",
                                       daemon=True)
@@ -82,7 +87,11 @@ class NativeFrontend:
     def _run(self) -> None:
         svc = self.service
         store = svc.store
-        batch_cap = svc.decode_batch
+        # burst absorption: pull up to G batches per cycle and drain
+        # them in ONE scanned dispatch (service._rows_search_scan) —
+        # per-batch dispatching costs ~1/3 more at full backlog
+        batch_cap = svc.decode_batch * (
+            1 if svc.mesh is not None else svc.MAX_DECODE_GROUPS)
         pending: deque = deque()
         while not self._stop.is_set():
             n = 0
@@ -101,8 +110,11 @@ class NativeFrontend:
                                 .encode())
                     if keep:
                         rows = store.rows([batch_ids[i] for i in keep])
-                        raw = svc._decode_rows_fn(
-                            [int(r) for r in rows])   # issue, don't wait
+                        rows = [int(r) for r in rows]
+                        if svc.mesh is None:          # issue, don't wait
+                            raw = svc._decode_rows_grouped(rows)
+                        else:
+                            raw = svc._decode_rows_fn(rows)
                         pending.append((raw, [reqs[i] for i in keep],
                                         [slots[i] for i in keep]))
                 # fetch completed batches; drain fully when idle

@@ -53,6 +53,28 @@ def _rows_search(params, table: jax.Array, idx: jax.Array, *,
                        max_words=max_words, compute_dtype=compute_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("beam_width", "max_words",
+                                             "compute_dtype"))
+def _rows_search_scan(params, table: jax.Array, idx: jax.Array, *,
+                      beam_width: int, max_words: int, compute_dtype):
+    """(G, B) row indices -> (G, B, T) tokens: G batches in ONE dispatch.
+
+    Burst absorption for serving: when the request backlog exceeds one
+    compiled batch, draining it as a scanned multi-batch dispatch runs
+    at the offline flagship rate (~24k captions/s) instead of paying
+    per-batch dispatch overhead (~16.5k) — the same geometry lever as
+    ``beam_search_scan`` (BENCH_DETAIL.md)."""
+    from lrcn_tpu.decode.beam import beam_search_scan, greedy_search_scan
+
+    feats = jnp.take(table, idx, axis=0)        # (G, B, D)
+    if beam_width == 1:
+        return greedy_search_scan(params, feats, max_words=max_words,
+                                  compute_dtype=compute_dtype)
+    return beam_search_scan(params, feats, beam_width=beam_width,
+                            max_words=max_words,
+                            compute_dtype=compute_dtype)
+
+
 class CaptionService:
     """Caption requests against a loaded model, batched dynamically.
 
@@ -168,7 +190,30 @@ class CaptionService:
     def _decode_finalize(self, raw) -> list[str]:
         n, tokens = raw
         tokens = np.asarray(tokens)     # blocks for the device here
+        if tokens.ndim == 3:            # grouped (G, B, T) burst decode
+            tokens = tokens.reshape(-1, tokens.shape[-1])
         return [caption_to_line(tokens[i], self.vocab) for i in range(n)]
+
+    MAX_DECODE_GROUPS = 4   # scanned batches per burst dispatch
+
+    def _decode_rows_grouped(self, rows: list[int]):
+        """ISSUE up to MAX_DECODE_GROUPS batches of table-row decodes in
+        ONE scanned dispatch (burst absorption — see _rows_search_scan).
+        Single-device only; callers under a mesh chunk to
+        ``_decode_rows_fn`` instead."""
+        n = len(rows)
+        b = self.decode_batch
+        g = max(1, -(-n // b))
+        assert g <= self.MAX_DECODE_GROUPS and self.mesh is None
+        if g == 1:
+            return self._decode_rows_fn(rows)
+        idx = np.zeros((g, b), np.int32)
+        idx.reshape(-1)[:n] = rows
+        tokens, _ = _rows_search_scan(
+            self.params, self._table, jnp.asarray(idx),
+            beam_width=self.beam_width, max_words=self.max_words,
+            compute_dtype=self.compute_dtype)
+        return n, tokens
 
     def _decode_rows_fn(self, rows: list[int]):
         """ISSUE a beam dispatch over HBM-resident table rows.

@@ -199,3 +199,25 @@ def test_native_pump_survives_decode_failure(frontend, monkeypatch):
     assert status == 500 and "decode failed" in out["error"]
     status, out = _request(fe.port, "POST", "/v1/caption", {"id": 100})
     assert status == 200 and len(out["captions"]) == 1
+
+
+def test_native_burst_grouped_decode_matches(frontend):
+    """A burst larger than one compiled batch drains through the scanned
+    multi-batch dispatch (service._rows_search_scan) — token-exact with
+    the per-batch path."""
+    fe, svc = frontend
+    ids = [100 + (i % 12) for i in range(20)]    # decode_batch=8 -> g=3
+    expected = svc.caption_ids(ids)              # per-batch path
+    status, out = _request(fe.port, "POST", "/v1/caption", {"ids": ids})
+    assert status == 200
+    assert out["captions"] == expected
+
+    # unit-level: grouped issue == per-batch issue, bit-exact
+    rows = [int(r) for r in svc.store.rows(ids)]
+    grouped = svc._decode_finalize(svc._decode_rows_grouped(rows))
+    singles = []
+    b = svc.decode_batch
+    for i in range(0, len(rows), b):
+        singles.extend(svc._decode_finalize(
+            svc._decode_rows_fn(rows[i:i + b])))
+    assert grouped == singles
