@@ -10,6 +10,10 @@ lrcn.jl:30-55).  Here the same capabilities are subcommands:
     lrcn extract-features --extfeatures (lrcn.jl:162-173, 190-221)
     lrcn eval             eval/eval.jl reference building + BLEU scoring
     lrcn bleu             the multi-bleu scorer (eval/multi-bleu.perl)
+    lrcn import-karpathy  feature_extractor.jl (Karpathy fc7 import)
+    lrcn download         download_data.sh / karpathy_features.sh
+    lrcn serve            online caption service (new surface — the
+                          reference only generates offline)
 
 Dead reference flags are intentionally not reproduced (--gclip parsed but
 clipping commented out lrcn.jl:386-393, --lr unused :399-405, :bestfile
