@@ -315,15 +315,22 @@ def test_extract_features_survives_sigkill(tmp_path):
             "extraction child exited rc=%s before any flush:\n%s"
             % (child.returncode, err_path.read_text()))
     # kill as soon as the first flush lands (any snapshot state counts —
-    # the kill may race the atomic swap itself)
-    deadline = time.time() + 300
+    # the kill may race the atomic swap itself).  Generous deadline: a
+    # cold-cache VGG compile under CI contention has measured >300s, and
+    # killing BEFORE the first flush invalidates the test's premise.
+    deadline = time.time() + 900
+    flushed = False
     while time.time() < deadline and not _child_died_early():
         if any(os.path.exists(os.path.join(p, "meta.json"))
                for p in (out, out + ".tmp", out + ".old")):
+            flushed = True
             break
         time.sleep(0.02)
     child.send_signal(signal.SIGKILL)
     child.wait()
+    assert flushed, ("no flush within 900s — either the machine is "
+                     "pathologically slow or periodic flushing broke; "
+                     "child stderr:\n" + err_path.read_text()[-2000:])
 
     assert FeatureStore.recover(out) == out, \
         "no loadable snapshot after SIGKILL"
