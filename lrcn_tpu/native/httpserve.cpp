@@ -56,8 +56,13 @@ struct Request {
 };
 
 struct Item {
+    // Holds the request SERIAL, never a Request* — a queued item can
+    // outlive its request (the connection thread responds 504 on
+    // timeout and destroys the stack-allocated Request while not-yet-
+    // pulled items are still in the queue).  The pump resolves serials
+    // through the live map, which is purged before destruction.
     long long id;
-    Request* req;
+    long long serial;
     size_t slot;
 };
 
@@ -274,7 +279,17 @@ void handle_connection(Server* sv, int fd) {
         while (buf.size() < content_length) {
             char tmp[65536];
             ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
-            if (n <= 0) { ::close(fd); return; }
+            if (n == 0) { ::close(fd); return; }
+            if (n < 0) {
+                // SO_RCVTIMEO expiry mid-body: a slow-but-legitimate
+                // client (trickled upload) keeps the connection; only
+                // stop on real errors or shutdown
+                if ((errno == EAGAIN || errno == EWOULDBLOCK ||
+                     errno == EINTR) && !sv->stopping.load())
+                    continue;
+                ::close(fd);
+                return;
+            }
             buf.append(tmp, n);
         }
         std::string body = buf.substr(0, content_length);
@@ -337,7 +352,7 @@ void handle_connection(Server* sv, int fd) {
                 continue;
             }
             for (size_t s = 0; s < req.ids.size(); s++)
-                sv->queue.push_back(Item{req.ids[s], &req, s});
+                sv->queue.push_back(Item{req.ids[s], req.serial, s});
         }
         sv->qcv.notify_all();
 
@@ -351,6 +366,16 @@ void handle_connection(Server* sv, int fd) {
         {
             std::lock_guard<std::mutex> lk(sv->live_mu);
             sv->live.erase(req.serial);
+        }
+        if (!req.done()) {
+            // abandoned mid-flight (timeout / shutdown): drop any of the
+            // request's items still queued so the pump doesn't decode
+            // for a client that already got its error response
+            std::lock_guard<std::mutex> lk(sv->qmu);
+            for (auto qi = sv->queue.begin(); qi != sv->queue.end();) {
+                if (qi->serial == req.serial) qi = sv->queue.erase(qi);
+                else ++qi;
+            }
         }
         if (req.error_status) {
             sv->errors.fetch_add(1);
@@ -428,14 +453,16 @@ void* lrcn_serve_start(const char* host, int port, int n_threads,
                 if (errno == EBADF || errno == EINVAL) break;
                 continue;   // ECONNABORTED / EINTR / transient
             }
-            if (active->load() >= threads) {     // saturated: shed
+            // reserve-then-check: fetch_add makes the limit exact even
+            // under an accept burst (check-then-increment overshoots)
+            if (active->fetch_add(1) >= threads) {   // saturated: shed
+                active->fetch_sub(1);
                 sv->shed.fetch_add(1);
                 respond(fd, 503, "{\"error\": \"connection limit\"}",
                         false);
                 ::close(fd);
                 continue;
             }
-            active->fetch_add(1);
             std::thread([sv, fd, active] {
                 handle_connection(sv, fd);
                 active->fetch_sub(1);
@@ -462,7 +489,7 @@ int lrcn_serve_next(void* h, long long* ids, long long* reqs,
         Item it = sv->queue.front();
         sv->queue.pop_front();
         ids[n] = it.id;
-        reqs[n] = it.req->serial;
+        reqs[n] = it.serial;
         slots[n] = (long long)it.slot;
         n++;
     }

@@ -21,9 +21,31 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
+
+
+def _resolve(fut: Future, *, result=None, exc: Exception | None = None
+             ) -> None:
+    """Set a future's outcome, tolerating a concurrent cancel.
+
+    Request threads cancel their futures on client timeout; if the
+    cancel lands between our ``cancelled()`` check and the set, the
+    raw ``set_result``/``set_exception`` raises ``InvalidStateError``
+    out of the dispatcher/collector thread and permanently wedges the
+    service.  The race is benign — the client already gave up — so a
+    lost set is simply dropped.
+    """
+    try:
+        if fut.cancelled():
+            return
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except InvalidStateError:
+        pass
 
 
 class BatcherOverloaded(RuntimeError):
@@ -172,16 +194,14 @@ class DynamicBatcher:
             return
         done = time.monotonic()
         for (_, fut, _), res in zip(batch, results):
-            if not fut.cancelled():
-                fut.set_result(res)
+            _resolve(fut, result=res)
         self.stats.record_batch(
             len(batch), [(done - t0) * 1e3 for _, _, t0 in batch])
 
     def _fail(self, batch: list[tuple], e: Exception) -> None:
         self.stats.errors += len(batch)
         for _, fut, _ in batch:
-            if not fut.cancelled():
-                fut.set_exception(e)
+            _resolve(fut, exc=e)
 
     def _run(self) -> None:
         while not self._closed.is_set():

@@ -264,6 +264,14 @@ class CaptionService:
     # --- request side ---
 
     def caption_features(self, feats: Sequence[np.ndarray]) -> list[str]:
+        """Caption raw fc7 rows.
+
+        Rows are L1-normalized here, exactly like the reference's live
+        path (``input/sum(input)``, lrcn.jl:597) — the decoder was
+        trained on normalized features, and every other entry point
+        (ids, images) normalizes too.  Pre-normalized input is a no-op
+        (fc7 is post-ReLU, so a normalized row re-normalizes to itself).
+        """
         rows = []
         for f in feats:
             row = np.asarray(f, np.float32).reshape(-1)
@@ -271,7 +279,11 @@ class CaptionService:
                 raise ValueError(
                     f"feature row has {row.shape[0]} dims, model expects "
                     f"{self.cfg.cnn_feature_dim}")
-            rows.append(row)
+            rows.append(l1_normalize(row[None])[0])
+        return self._submit_decode(rows)
+
+    def _submit_decode(self, rows: Sequence[np.ndarray]) -> list[str]:
+        """Decode already-normalized fc7 rows through the batcher."""
         return self._await_all([self._decode.submit(r) for r in rows])
 
     def caption_ids(self, image_ids: Sequence[int]) -> list[str]:
@@ -284,7 +296,7 @@ class CaptionService:
         feats = [self.store.get(int(i)) for i in image_ids]
         if not self.store.normalized:
             feats = [l1_normalize(r[None])[0] for r in feats]
-        return self.caption_features(feats)
+        return self._submit_decode(feats)
 
     def caption_images(self, images: Sequence[np.ndarray]) -> list[str]:
         """(224,224,3) uint8 arrays -> captions (encode stage + decode)."""
@@ -292,7 +304,8 @@ class CaptionService:
             raise RuntimeError("service has no encoder (pass vgg_params)")
         feat_futs = [self._encode.submit(np.asarray(img, np.uint8))
                      for img in images]
-        return self.caption_features(self._await_all(feat_futs))
+        # encoder output is already L1-normalized (see _encode_fn)
+        return self._submit_decode(self._await_all(feat_futs))
 
     def caption_image_bytes(self, blobs: Sequence[bytes]) -> list[str]:
         """Raw encoded image bytes (JPEG/PNG) -> captions."""

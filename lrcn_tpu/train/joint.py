@@ -233,7 +233,11 @@ class JointTrainer:
                     "n_batches": len(train_batches)}
         start_epoch, start_dispatch, rng_key = resume_start(
             resume_position, shuffle_rng, rng_key, geometry)
-        for epoch in range(start_epoch, start_epoch + epochs):
+        # resuming mid-epoch, `epochs` is the TOTAL budget (see
+        # Trainer.fit): the same command re-run after a crash stops at
+        # epoch N instead of start_epoch+N-1
+        end_epoch = epochs if resume_position else start_epoch + epochs - 1
+        for epoch in range(start_epoch, end_epoch + 1):
             epoch_state = copy.deepcopy(shuffle_rng.bit_generator.state)
             epoch_key = np.asarray(rng_key)
 

@@ -369,7 +369,12 @@ class Trainer:
                     "n_batches": len(train_batches)}
         start_epoch, start_dispatch, rng_key = resume_start(
             resume_position, shuffle_rng, rng_key, geometry)
-        for epoch in range(start_epoch, start_epoch + epochs):
+        # Resuming mid-epoch, `epochs` is the TOTAL budget: re-running the
+        # identical `lrcn train --epochs N --loadfile ...` after a crash
+        # finishes at epoch N, not start_epoch+N-1.  Fresh runs have
+        # start_epoch == 1 so the range is 1..N either way.
+        end_epoch = epochs if resume_position else start_epoch + epochs - 1
+        for epoch in range(start_epoch, end_epoch + 1):
             epoch_state = copy.deepcopy(shuffle_rng.bit_generator.state)
             epoch_key = np.asarray(rng_key)
 

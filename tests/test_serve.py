@@ -103,6 +103,53 @@ def test_batcher_backpressure_sheds_load():
         b.close()
 
 
+def test_batcher_resolve_tolerates_concurrent_cancel():
+    """A cancel landing between the dispatcher's cancelled() check and
+    its set_result must not raise InvalidStateError out of the
+    dispatcher/collector thread (that would wedge the service — every
+    later request would time out).  ``_resolve`` is the guard; exercise
+    both of its racy outcomes deterministically."""
+    from concurrent.futures import Future
+
+    from lrcn_tpu.serve.batcher import _resolve
+
+    # outcome 1: future already cancelled -> drop silently
+    fut = Future()
+    fut.cancel()
+    _resolve(fut, result=1)
+    _resolve(fut, exc=RuntimeError("x"))
+    assert fut.cancelled()
+
+    # outcome 2: state changed after the cancelled() check (simulated by
+    # an already-resolved future) -> InvalidStateError swallowed
+    fut2 = Future()
+    fut2.set_result("first")
+    _resolve(fut2, result="second")
+    _resolve(fut2, exc=RuntimeError("x"))
+    assert fut2.result(timeout=1) == "first"
+
+    # end-to-end: a batch full of cancels mid-flight never kills the
+    # dispatcher; the batcher keeps serving afterwards
+    release = threading.Event()
+
+    def slow(items):
+        release.wait(5)
+        return items
+
+    b = DynamicBatcher(slow, max_batch=4, max_wait_ms=20.0)
+    try:
+        futs = [b.submit(i) for i in range(4)]
+        time.sleep(0.05)            # let the dispatcher pick them up
+        for f in futs:
+            f.cancel()
+        release.set()
+        time.sleep(0.1)
+        assert b.submit(42).result(timeout=5) == 42
+    finally:
+        release.set()
+        b.close()
+
+
 def test_batcher_result_count_mismatch_is_an_error():
     b = DynamicBatcher(lambda items: [], max_batch=4, max_wait_ms=1.0)
     try:
@@ -368,6 +415,32 @@ def test_feature_dim_validated_before_batching(tiny_model):
         out = svc.caption_features(
             [np.zeros(cfg.cnn_feature_dim, np.float32)])
         assert len(out) == 1
+    finally:
+        svc.close()
+
+
+def test_caption_features_normalizes_raw_fc7(tiny_model):
+    """`caption_features` takes RAW fc7 rows (serve/http.py docs), but
+    beam_search expects L1-normalized features (lrcn.jl:597) and every
+    other entry point normalizes — raw input must be normalized inside,
+    and pre-normalized input must be a no-op (fc7 is post-ReLU)."""
+    cfg, vocab, params = tiny_model
+    svc = CaptionService(cfg, params, vocab, beam_width=2, max_words=8,
+                        decode_batch=4, compute_dtype=jnp.float32)
+    try:
+        rng = np.random.default_rng(11)
+        raw = [np.abs(rng.standard_normal(cfg.cnn_feature_dim))
+               .astype(np.float32) * 40.0 for _ in range(3)]
+        normalized = [r / r.sum() for r in raw]
+        assert svc.caption_features(raw) \
+            == svc.caption_features(normalized)
+        # and it matches the offline decoder fed normalized features
+        feats = jnp.asarray(np.stack(normalized + [normalized[0]]))
+        tokens, _ = beam_search(params, feats, beam_width=2, max_words=8,
+                                compute_dtype=jnp.float32)
+        offline = [caption_to_line(np.asarray(tokens)[i], vocab)
+                   for i in range(3)]
+        assert svc.caption_features(raw) == offline
     finally:
         svc.close()
 

@@ -290,7 +290,8 @@ def test_mid_epoch_checkpoint_resume_exact(tmp_path, tiny_setup,
             finally:
                 trainer_mod.save_checkpoint = orig
 
-            # resume exactly as cmd_train does
+            # resume exactly as cmd_train does: the SAME --epochs N is the
+            # total budget, no manual arithmetic
             ckpt = load_checkpoint(ckpt_dir)
             assert ckpt["position"] is not None
             trainer2 = Trainer(cfg, vocab,
@@ -299,10 +300,9 @@ def test_mid_epoch_checkpoint_resume_exact(tmp_path, tiny_setup,
             params2, opt2 = trainer2.init(jax.random.PRNGKey(0))
             params2 = jax.tree.map(jax.numpy.asarray, ckpt["params"])
             opt2 = restore_opt_state(opt2, ckpt["opt_leaves"])
-            remaining = n_epochs - (ckpt["position"]["epoch"] - 1) - 1
             params2, opt2 = trainer2.fit(
                 params2, opt2, batches, None, store, None,
-                jax.random.PRNGKey(1), epochs=remaining + 1,
+                jax.random.PRNGKey(1), epochs=n_epochs,
                 eval_train_loss=False, resume_position=ckpt["position"])
             return params2
         params, opt_state = trainer.fit(
