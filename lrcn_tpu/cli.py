@@ -239,7 +239,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("extract-features",
                        help="batched VGG fc7 feature extraction")
-    p.add_argument("--cnn", required=True, dest="vgg_model")
+    p.add_argument("--cnn", dest="vgg_model",
+                   help="MatConvNet imagenet-vgg-verydeep-16.mat")
+    p.add_argument("--loadfile",
+                   help="joint (cnn+decoder) checkpoint whose fine-tuned "
+                        "encoder extracts the features — the LRCN-2f eval "
+                        "protocol (explicit --cnn wins if both are given)")
     p.add_argument("--images", required=True,
                    help="directory of images; ids parsed from filenames")
     p.add_argument("--out", required=True, help="FeatureStore dir")
@@ -368,6 +373,32 @@ def _load_model(loadfile: str):
     if is_joint_checkpoint(params):
         params = params["decoder"]
     return params, ckpt["vocab"], ckpt["cfg"]
+
+
+def _joint_encoder(loadfile: str, params: dict | None = None):
+    """Fine-tuned encoder from a joint checkpoint -> (vgg_params, avg).
+
+    Returns (None, None) for decoder-only checkpoints.  This is what lets
+    the reference eval protocol (lrcn.jl:127-160) run against a
+    ``--joint`` model: ``train --joint -> extract-features --loadfile ->
+    generate -> eval`` (the paper's LRCN-2f pipeline, 1411.4389.pdf
+    Table 6).  Pass ``params`` if the checkpoint is already loaded to
+    skip a second read of the (large) param file.
+    """
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+    from lrcn_tpu.train.joint import (
+        identity_average_image,
+        is_joint_checkpoint,
+    )
+
+    if params is None:
+        params = load_checkpoint(loadfile)["params"]
+    if not is_joint_checkpoint(params):
+        return None, None
+    avg_path = os.path.join(loadfile, "average_image.npy")
+    avg = (np.load(avg_path) if os.path.exists(avg_path)
+           else identity_average_image())
+    return params["cnn"], avg
 
 
 # train-parser hyperparameters that default to None so resumed runs can
@@ -554,18 +585,36 @@ def _train_joint(args) -> int:
     average_image = identity_average_image()
     if args.loadfile:
         ckpt = load_checkpoint(args.loadfile)
-        if not is_joint_checkpoint(ckpt["params"]):
+        if is_joint_checkpoint(ckpt["params"]):
+            joint = load_joint_params(ckpt["params"])
+            vgg_params, decoder_params = joint.cnn, joint.decoder
+            vocab = ckpt["vocab"]
+            cfg = _resumed_config(ckpt["cfg"], args)
+            opt_leaves = ckpt["opt_leaves"]
+            avg_path = os.path.join(args.loadfile, "average_image.npy")
+            if os.path.exists(avg_path):
+                average_image = np.load(avg_path)
+        elif args.vgg_model:
+            # the paper's 2f warm start (1411.4389.pdf Table 6): decoder
+            # from a feature-trained (1f) checkpoint, encoder from the
+            # stock weights, fresh optimizer state
+            from lrcn_tpu.models.vgg import load_matconvnet
+            decoder_params = ckpt["params"]
+            vocab = ckpt["vocab"]
+            cfg = _resumed_config(ckpt["cfg"], args)
+            vgg_params, average_image = load_matconvnet(args.vgg_model)
+            fc7_dim = int(np.shape(vgg_params["fc7"]["b"])[0])
+            if cfg.cnn_feature_dim != fc7_dim:
+                raise SystemExit(
+                    f"lrcn train --joint: decoder checkpoint expects "
+                    f"{cfg.cnn_feature_dim}-dim features but the encoder's "
+                    f"fc7 is {fc7_dim}-dim")
+            ckpt = None          # warm start, not a resume
+        else:
             raise SystemExit(
                 f"{args.loadfile} is a decoder-only checkpoint; resume it "
-                "without --joint (or extract features and train on them)")
-        joint = load_joint_params(ckpt["params"])
-        vgg_params, decoder_params = joint.cnn, joint.decoder
-        vocab = ckpt["vocab"]
-        cfg = _resumed_config(ckpt["cfg"], args)
-        opt_leaves = ckpt["opt_leaves"]
-        avg_path = os.path.join(args.loadfile, "average_image.npy")
-        if os.path.exists(avg_path):
-            average_image = np.load(avg_path)
+                "without --joint, or warm-start the 2f protocol by also "
+                "passing --cnn <vgg .mat>")
     else:
         if args.vgg_model:
             from lrcn_tpu.models.vgg import load_matconvnet
@@ -698,19 +747,13 @@ def cmd_caption(args) -> int:
     from lrcn_tpu.decode.writer import caption_to_line
     from lrcn_tpu.models.vgg import l1_normalize, load_matconvnet, vgg16_fc7
     from lrcn_tpu.train.checkpoint import load_checkpoint
-    from lrcn_tpu.train.joint import (
-        identity_average_image,
-        is_joint_checkpoint,
-    )
+    from lrcn_tpu.train.joint import is_joint_checkpoint
 
     ckpt = load_checkpoint(args.loadfile)
     params, vocab = ckpt["params"], ckpt["vocab"]
-    vgg_params = avg = None
+    vgg_params, avg = _joint_encoder(args.loadfile, params=params)
     if is_joint_checkpoint(params):
-        vgg_params, params = params["cnn"], params["decoder"]
-        avg_path = os.path.join(args.loadfile, "average_image.npy")
-        avg = (np.load(avg_path) if os.path.exists(avg_path)
-               else identity_average_image())
+        params = params["decoder"]
     if args.vgg_model:          # an explicit --cnn wins over the checkpoint
         vgg_params, avg = load_matconvnet(args.vgg_model)
     elif vgg_params is None:
@@ -735,7 +778,19 @@ def cmd_extract_features(args) -> int:
     from lrcn_tpu.data.images import extract_features
     from lrcn_tpu.models.vgg import load_matconvnet
 
-    vgg_params, avg = load_matconvnet(args.vgg_model)
+    vgg_params = avg = None
+    if args.loadfile:
+        vgg_params, avg = _joint_encoder(args.loadfile)
+        if vgg_params is None:
+            raise SystemExit(
+                "lrcn extract-features: --loadfile must be a joint "
+                "(cnn+decoder) checkpoint; decoder-only checkpoints have "
+                "no encoder — pass --cnn instead")
+    if args.vgg_model:          # an explicit --cnn wins over the checkpoint
+        vgg_params, avg = load_matconvnet(args.vgg_model)
+    elif vgg_params is None:
+        raise SystemExit("lrcn extract-features: pass --cnn <vgg .mat> "
+                         "or --loadfile <joint checkpoint>")
     vgg_params = jax.device_put(vgg_params)
     paths = _image_paths_from_dir(args.images)
     store = None
@@ -800,19 +855,13 @@ def make_caption_service(args):
     from lrcn_tpu.models.vgg import load_matconvnet
     from lrcn_tpu.serve import CaptionService
     from lrcn_tpu.train.checkpoint import load_checkpoint
-    from lrcn_tpu.train.joint import (
-        identity_average_image,
-        is_joint_checkpoint,
-    )
+    from lrcn_tpu.train.joint import is_joint_checkpoint
 
     ckpt = load_checkpoint(args.loadfile)
     params, vocab, cfg = ckpt["params"], ckpt["vocab"], ckpt["cfg"]
-    vgg_params = avg = None
+    vgg_params, avg = _joint_encoder(args.loadfile, params=params)
     if is_joint_checkpoint(params):
-        vgg_params, params = params["cnn"], params["decoder"]
-        avg_path = os.path.join(args.loadfile, "average_image.npy")
-        avg = (np.load(avg_path) if os.path.exists(avg_path)
-               else identity_average_image())
+        params = params["decoder"]
     if args.vgg_model:          # an explicit --cnn wins over the checkpoint
         vgg_params, avg = load_matconvnet(args.vgg_model)
     store = FeatureStore.load(args.features) if args.features else None

@@ -152,40 +152,55 @@ def test_console_script_entrypoint():
     assert "train" in out.stdout and "extract-features" in out.stdout
 
 
-def test_caption_single_image(tmp_path, synthetic):
-    """End-to-end single-image captioning: .mat import -> VGG -> beam."""
-    import numpy as np
-    from PIL import Image
+def synthetic_vgg_mat(path, rng, width=1.0, fc_dim=4096):
+    """A MatConvNet-format VGG-16 file with random weights; ``width``
+    scales the conv channel counts (tiny widths keep CPU tests fast)."""
     from scipy.io import savemat
 
     from lrcn_tpu.models import vgg as vgg_mod
 
-    # synthetic MatConvNet file (full-size layer list, random weights)
-    rng = np.random.default_rng(0)
+    def wb(w, b):
+        # explicit object array: np.array([w, b], dtype=object) tries to
+        # broadcast when the shapes share a leading dim (tiny widths)
+        pair = np.empty(2, dtype=object)
+        pair[0], pair[1] = w, b
+        return pair
+
     layers, c_in = [], 3
     for entry in vgg_mod.VGG16_LAYOUT:
         if entry == "pool":
             layers.append({"name": "pool", "type": "pool"})
             continue
         name, c_out = entry
-        layers.append({"name": name, "type": "conv", "weights": np.array(
-            [rng.standard_normal((3, 3, c_in, c_out)).astype(np.float32)
-             * 0.05,
-             np.zeros((c_out, 1), np.float32)], dtype=object)})
+        c_out = max(1, round(c_out * width))
+        layers.append({"name": name, "type": "conv", "weights": wb(
+            rng.standard_normal((3, 3, c_in, c_out)).astype(np.float32)
+            * 0.05,
+            np.zeros((c_out, 1), np.float32))})
         layers.append({"name": "relu" + name[4:], "type": "relu"})
         c_in = c_out
-    for name, shape, d_out in [("fc6", (7, 7, 512, 4096), 4096),
-                               ("fc7", (1, 1, 4096, 4096), 4096)]:
-        layers.append({"name": name, "type": "conv", "weights": np.array(
-            [rng.standard_normal(shape).astype(np.float32) * 0.01,
-             np.zeros((d_out, 1), np.float32)], dtype=object)})
+    for name, shape, d_out in [("fc6", (7, 7, c_in, fc_dim), fc_dim),
+                               ("fc7", (1, 1, fc_dim, fc_dim), fc_dim)]:
+        layers.append({"name": name, "type": "conv", "weights": wb(
+            rng.standard_normal(shape).astype(np.float32) * 0.01,
+            np.zeros((d_out, 1), np.float32))})
         layers.append({"name": "relu" + name[2:], "type": "relu"})
-    mat_path = str(tmp_path / "vgg.mat")
-    savemat(mat_path, {
+    savemat(path, {
         "layers": np.array(layers, dtype=object),
         "meta": {"normalization": {
             "averageImage": np.full((224, 224, 3), 120, np.float32)}},
     })
+
+
+def test_caption_single_image(tmp_path, synthetic):
+    """End-to-end single-image captioning: .mat import -> VGG -> beam."""
+    import numpy as np
+    from PIL import Image
+
+    # synthetic MatConvNet file (full-size layer list, random weights)
+    rng = np.random.default_rng(0)
+    mat_path = str(tmp_path / "vgg.mat")
+    synthetic_vgg_mat(mat_path, rng)
 
     img_path = str(tmp_path / "cat.png")
     Image.fromarray(rng.integers(0, 255, (260, 300, 3)).astype(np.uint8)
@@ -295,6 +310,174 @@ def test_train_joint_cli(tmp_path, monkeypatch):
                    "--loadfile", ckpt, "--generate", "4",
                    "--beam_width", "2", "--compute-dtype", "float32"])
     assert rc == 0
+
+
+def test_joint_eval_chain(tmp_path, monkeypatch, capsys):
+    """The LRCN-2f eval protocol against a fine-tuned joint model:
+    ``train --joint -> extract-features --loadfile <joint ckpt> ->
+    generate -> eval`` (reference protocol lrcn.jl:127-160; the paper's
+    2f numbers, 1411.4389.pdf Table 6, are produced exactly this way).
+    The fine-tuned encoder — not a stock .mat — extracts the features."""
+    import functools
+
+    from PIL import Image
+
+    from lrcn_tpu.models import vgg as vgg_mod
+
+    monkeypatch.setattr(
+        vgg_mod, "init_vgg_params",
+        functools.partial(vgg_mod.init_vgg_params,
+                          width_multiplier=0.05, fc_dim=24))
+
+    rng = np.random.default_rng(9)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    ids = [52000 + i for i in range(8)]
+    for iid in ids:
+        Image.fromarray(
+            rng.integers(0, 255, (230, 260, 3)).astype(np.uint8)
+        ).save(str(img_dir / f"COCO_val2014_{iid:012d}.jpg"))
+
+    def anns_for(seed):
+        r = np.random.default_rng(seed)
+        return [{"image_id": iid, "caption": " ".join(r.choice(WORDS, 5))}
+                for iid in ids for _ in range(5)]
+
+    train_json = str(tmp_path / "captions_train.json")
+    val_json = str(tmp_path / "captions_val.json")
+    with open(train_json, "w") as f:
+        json.dump({"annotations": anns_for(1)}, f)
+    with open(val_json, "w") as f:
+        json.dump({"annotations": anns_for(2)}, f)
+
+    # 1) fine-tune encoder+decoder jointly
+    ckpt = str(tmp_path / "joint_ckpt")
+    assert cli.main(["train", "--joint", "--images", str(img_dir),
+                     "--datafiles", train_json, "--epochs", "1",
+                     "--batchsize", "4", "--hidden", "16", "16",
+                     "--embed", "12", "--seed", "3", "--dropout", "0.0",
+                     "--compute-dtype", "float32",
+                     "--savefile", ckpt]) == 0
+
+    # 2) extract features with the FINE-TUNED encoder (no --cnn)
+    store_dir = str(tmp_path / "feats_2f")
+    assert cli.main(["extract-features", "--loadfile", ckpt,
+                     "--images", str(img_dir), "--out", store_dir,
+                     "--batch-size", "4", "--scan-depth", "1",
+                     "--compute-dtype", "float32"]) == 0
+    store = FeatureStore.load(store_dir)
+    assert sorted(store.ids()) == ids
+    # the store really holds fc7 of the fine-tuned encoder: its feature
+    # dim is the scaled encoder's (24), not the stock 4096
+    assert store.get(ids[0]).shape == (24,)
+
+    # decoder-only checkpoints are refused with guidance
+    import jax
+
+    from lrcn_tpu.config import LRCNConfig
+    from lrcn_tpu.core.vocab import Vocab
+    from lrcn_tpu.models import lrcn as lrcn_model
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    dcfg = LRCNConfig(hidden=(16, 16), embed=12, cnn_feature_dim=24,
+                      vocab_size=0, compute_dtype="float32")
+    dvocab = Vocab(WORDS)
+    dcfg.vocab_size = len(dvocab)
+    dparams = lrcn_model.init_params(jax.random.PRNGKey(0), dcfg)
+    dec_ckpt = str(tmp_path / "dec_only")
+    save_checkpoint(dec_ckpt, dparams, dvocab, dcfg)
+    with pytest.raises(SystemExit, match="joint"):
+        cli.main(["extract-features", "--loadfile", dec_ckpt,
+                  "--images", str(img_dir), "--out",
+                  str(tmp_path / "x")])
+
+    # 3) generate the caption set from the held-out COCO val split
+    cand = str(tmp_path / "cand_2f.txt")
+    ids_out = str(tmp_path / "ids_2f.txt")
+    assert cli.main(["generate", "--loadfile", ckpt,
+                     "--features", store_dir,
+                     "--datafiles", train_json, val_json,
+                     "--capnumber", "8", "--generate", "8",
+                     "--beam_width", "2", "--seed", "7",
+                     "--out", cand, "--ids-out", ids_out,
+                     "--compute-dtype", "float32"]) == 0
+    lines = open(cand).read().splitlines()
+    assert len(lines) == 8 and all(l.endswith(".") for l in lines)
+
+    # 4) score against the val annotations (eval/eval.jl protocol)
+    refs_dir = str(tmp_path / "refs_2f")
+    assert cli.main(["eval", "--candidates", cand,
+                     "--candidate-ids", ids_out,
+                     "--annotations", val_json,
+                     "--refs-dir", refs_dir]) == 0
+    out = capsys.readouterr().out
+    assert "BLEU = " in out
+
+
+def test_joint_warm_start_from_decoder_checkpoint(tmp_path):
+    """The 2f warm start: ``train --joint --loadfile <decoder-only ckpt>
+    --cnn <mat>`` seeds the decoder from a feature-trained (1f) model and
+    the encoder from the stock weights (the paper's fine-tune protocol,
+    1411.4389.pdf Table 6), instead of refusing the checkpoint."""
+    import jax
+    from PIL import Image
+
+    from lrcn_tpu.config import LRCNConfig
+    from lrcn_tpu.core.vocab import Vocab
+    from lrcn_tpu.models import lrcn as lrcn_model
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(12)
+    mat_path = str(tmp_path / "vgg_tiny.mat")
+    synthetic_vgg_mat(mat_path, rng, width=0.05, fc_dim=24)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    ids = [61000 + i for i in range(4)]
+    for iid in ids:
+        Image.fromarray(
+            rng.integers(0, 255, (230, 260, 3)).astype(np.uint8)
+        ).save(str(img_dir / f"COCO_train2014_{iid:012d}.jpg"))
+    anns = [{"image_id": iid, "caption": " ".join(rng.choice(WORDS, 5))}
+            for iid in ids for _ in range(5)]
+    train_json = str(tmp_path / "captions_train.json")
+    with open(train_json, "w") as f:
+        json.dump({"annotations": anns}, f)
+
+    # a "1f" decoder checkpoint matched to the encoder's fc7 dim (24)
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, cnn_feature_dim=24,
+                     vocab_size=0, compute_dtype="float32", batch_size=4,
+                     dropout=0.0)
+    vocab = Vocab(WORDS)
+    cfg.vocab_size = len(vocab)
+    params = lrcn_model.init_params(jax.random.PRNGKey(1), cfg)
+    dec_ckpt = str(tmp_path / "dec_1f")
+    save_checkpoint(dec_ckpt, params, vocab, cfg)
+
+    out_ckpt = str(tmp_path / "joint_2f")
+    assert cli.main(["train", "--joint", "--images", str(img_dir),
+                     "--datafiles", train_json, "--loadfile", dec_ckpt,
+                     "--cnn", mat_path, "--epochs", "1",
+                     "--compute-dtype", "float32",
+                     "--savefile", out_ckpt]) == 0
+    with np.load(os.path.join(out_ckpt, "params.npz")) as z:
+        keys = set(z.files)
+    assert any(k.startswith("cnn/") for k in keys)
+    assert any(k.startswith("decoder/") for k in keys)
+    # the .mat's averageImage rode along for later extraction/caption
+    avg = np.load(os.path.join(out_ckpt, "average_image.npy"))
+    assert avg.shape == (224, 224, 3) and np.allclose(avg, 120)
+
+    # dim mismatch between decoder checkpoint and encoder fc7 is refused
+    cfg_bad = LRCNConfig(hidden=(16, 16), embed=12, cnn_feature_dim=64,
+                         vocab_size=len(vocab), compute_dtype="float32")
+    bad = str(tmp_path / "dec_bad")
+    save_checkpoint(bad, lrcn_model.init_params(jax.random.PRNGKey(2),
+                                                cfg_bad), vocab, cfg_bad)
+    with pytest.raises(SystemExit, match="dim"):
+        cli.main(["train", "--joint", "--images", str(img_dir),
+                  "--datafiles", train_json, "--loadfile", bad,
+                  "--cnn", mat_path, "--epochs", "1"])
 
 
 def test_train_resume_honors_explicit_flags(synthetic, tmp_path, capsys):
