@@ -65,10 +65,11 @@ class NativeFrontend:
         self._wait_ms = wait_ms
         self._max_inflight = max_inflight
         # pre-compile every burst shape so traffic never recompiles
-        if service.mesh is None:
-            for g in range(2, service.MAX_DECODE_GROUPS + 1):
-                service._decode_finalize(service._decode_rows_grouped(
-                    [0] * (service.decode_batch * (g - 1) + 1)))
+        # (grouped drain works under a mesh too: groups scan, each
+        # batch shards along 'data')
+        for g in range(2, service.MAX_DECODE_GROUPS + 1):
+            service._decode_finalize(service._decode_rows_grouped(
+                [0] * (service.decode_batch * (g - 1) + 1)))
         self._stop = threading.Event()
         self._pump = threading.Thread(target=self._run, name="lrcn-pump",
                                       daemon=True)
@@ -90,9 +91,9 @@ class NativeFrontend:
         # burst absorption: pull up to G batches per cycle and drain
         # them in ONE scanned dispatch (service._rows_search_scan) —
         # per-batch dispatching costs ~1/3 more at full backlog
-        batch_cap = svc.decode_batch * (
-            1 if svc.mesh is not None else svc.MAX_DECODE_GROUPS)
+        batch_cap = svc.decode_batch * svc.MAX_DECODE_GROUPS
         pending: deque = deque()
+        current = None   # batch popped from `pending`, mid-finalize
         while not self._stop.is_set():
             n = 0
             try:
@@ -111,23 +112,27 @@ class NativeFrontend:
                     if keep:
                         rows = store.rows([batch_ids[i] for i in keep])
                         rows = [int(r) for r in rows]
-                        if svc.mesh is None:          # issue, don't wait
-                            raw = svc._decode_rows_grouped(rows)
-                        else:
-                            raw = svc._decode_rows_fn(rows)
+                        raw = svc._decode_rows_grouped(rows)  # issue only
                         pending.append((raw, [reqs[i] for i in keep],
                                         [slots[i] for i in keep]))
                 # fetch completed batches; drain fully when idle
                 while pending and (len(pending) > self._max_inflight
                                    or (n == 0 and pending)):
-                    raw, preqs, pslots = pending.popleft()
+                    current = pending.popleft()
+                    raw, preqs, pslots = current
                     captions = svc._decode_finalize(raw)
                     self._respond(preqs, pslots, captions)
+                    current = None
             except Exception as e:   # noqa: BLE001 — the pump must
                 # outlive ANY batch failure: fail the affected requests
                 # (the C++ side 504s anything we lose track of) and keep
-                # serving
+                # serving.  `current` is the batch whose finalize blew
+                # up — without an explicit error its requests would sit
+                # out the full request timeout for a 504.
                 print(f"native pump: batch failed: {e!r}", flush=True)
+                if current is not None:
+                    pending.appendleft(current)
+                    current = None
                 for raw, preqs, _ in pending:
                     for r in preqs:
                         self._lib.lrcn_serve_error(
@@ -140,7 +145,12 @@ class NativeFrontend:
         # flush whatever was still in flight at stop
         while pending:
             raw, preqs, pslots = pending.popleft()
-            self._respond(preqs, pslots, svc._decode_finalize(raw))
+            try:
+                self._respond(preqs, pslots, svc._decode_finalize(raw))
+            except Exception:   # noqa: BLE001 — flush the rest anyway
+                for r in preqs:
+                    self._lib.lrcn_serve_error(
+                        self._h, r, 500, b"decode failed")
 
     def _respond(self, preqs, pslots, captions) -> None:
         k = len(captions)

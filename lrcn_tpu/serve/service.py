@@ -133,9 +133,13 @@ class CaptionService:
                 dev_table = jax.device_put(
                     dev_table, NamedSharding(mesh, P()))
             self._table = dev_table
+            # burst absorption: a backlog coalesces into up to
+            # MAX_DECODE_GROUPS compiled batches drained in ONE scanned
+            # dispatch (2.0x drain rate vs per-batch, BENCH_DETAIL.md)
             self._rows_batcher = DynamicBatcher(
-                self._decode_rows_fn, finalize=self._decode_finalize,
-                max_batch=decode_batch, max_wait_ms=max_wait_ms,
+                self._decode_rows_grouped, finalize=self._decode_finalize,
+                max_batch=decode_batch * self.MAX_DECODE_GROUPS,
+                max_wait_ms=max_wait_ms,
                 name="decode_ids", max_queue=max_queue)
         self._encode = None
         if vgg_params is not None:
@@ -199,18 +203,26 @@ class CaptionService:
     def _decode_rows_grouped(self, rows: list[int]):
         """ISSUE up to MAX_DECODE_GROUPS batches of table-row decodes in
         ONE scanned dispatch (burst absorption — see _rows_search_scan).
-        Single-device only; callers under a mesh chunk to
-        ``_decode_rows_fn`` instead."""
+
+        Under a mesh, each scanned batch is sharded along ``data``
+        exactly like the per-batch path (the scan is over groups; the
+        beam loop inside each step partitions per-image, so no
+        cross-chip communication appears)."""
         n = len(rows)
         b = self.decode_batch
         g = max(1, -(-n // b))
-        assert g <= self.MAX_DECODE_GROUPS and self.mesh is None
+        assert g <= self.MAX_DECODE_GROUPS
         if g == 1:
             return self._decode_rows_fn(rows)
         idx = np.zeros((g, b), np.int32)
         idx.reshape(-1)[:n] = rows
+        dev_idx = jnp.asarray(idx)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dev_idx = jax.device_put(
+                dev_idx, NamedSharding(self.mesh, P(None, "data")))
         tokens, _ = _rows_search_scan(
-            self.params, self._table, jnp.asarray(idx),
+            self.params, self._table, dev_idx,
             beam_width=self.beam_width, max_words=self.max_words,
             compute_dtype=self.compute_dtype)
         return n, tokens
@@ -350,6 +362,10 @@ class CaptionService:
         if self._rows_batcher is not None:
             self._await_all([self._rows_batcher.submit(0)],
                             timeout_s=timeout_s)
+            # every burst shape, so traffic spikes never recompile
+            for g in range(2, self.MAX_DECODE_GROUPS + 1):
+                self._decode_finalize(self._decode_rows_grouped(
+                    [0] * (self.decode_batch * (g - 1) + 1)))
         if self._encode is not None:
             feat = self._await_all(
                 [self._encode.submit(np.zeros((224, 224, 3), np.uint8))],

@@ -256,6 +256,15 @@ def test_service_on_mesh_matches_single_device(tiny_model):
     try:
         sharded.warmup()
         assert sharded.caption_ids(ids) == single.caption_ids(ids)
+        # burst absorption under the mesh: a backlog spanning multiple
+        # compiled batches drains through the grouped scanned dispatch
+        # (idx sharded P(None, 'data')) and stays token-exact
+        burst = [store.ids()[i % len(store.ids())] for i in range(20)]
+        assert sharded.caption_ids(burst) == single.caption_ids(burst)
+        rows = [int(r) for r in store.rows(burst)]
+        grouped = sharded._decode_finalize(
+            sharded._decode_rows_grouped(rows))
+        assert grouped == single.caption_ids(burst)
     finally:
         sharded.close()
         single.close()

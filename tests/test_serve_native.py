@@ -201,6 +201,34 @@ def test_native_pump_survives_decode_failure(frontend, monkeypatch):
     assert status == 200 and len(out["captions"]) == 1
 
 
+def test_native_finalize_failure_fails_fast(frontend, monkeypatch):
+    """When finalize blows up on the batch just popped from `pending`,
+    its requests must get their 500 immediately — not sit out the full
+    request timeout for a C++-side 504 (the pre-fix behavior: the
+    except block failed every batch EXCEPT the popped one)."""
+    import time
+
+    fe, svc = frontend
+    real = svc._decode_finalize
+    calls = {"n": 0}
+
+    def failing(raw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected finalize failure")
+        return real(raw)
+
+    monkeypatch.setattr(svc, "_decode_finalize", failing)
+    t0 = time.monotonic()
+    status, out = _request(fe.port, "POST", "/v1/caption", {"id": 100})
+    elapsed = time.monotonic() - t0
+    assert status == 500 and "decode failed" in out["error"]
+    # the fix turns a request_timeout_s (60 s) 504 cliff into ~1 s
+    assert elapsed < 5.0, f"stranded for {elapsed:.1f}s"
+    status, out = _request(fe.port, "POST", "/v1/caption", {"id": 100})
+    assert status == 200 and len(out["captions"]) == 1
+
+
 def test_native_burst_grouped_decode_matches(frontend):
     """A burst larger than one compiled batch drains through the scanned
     multi-batch dispatch (service._rows_search_scan) — token-exact with
