@@ -276,16 +276,21 @@ void handle_connection(Server* sv, int fd) {
             respond(fd, 413, "{\"error\": \"body too large\"}", false);
             break;
         }
+        auto body_deadline = std::chrono::steady_clock::now() +
+            std::chrono::milliseconds(sv->request_timeout_ms);
         while (buf.size() < content_length) {
             char tmp[65536];
             ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
             if (n == 0) { ::close(fd); return; }
             if (n < 0) {
                 // SO_RCVTIMEO expiry mid-body: a slow-but-legitimate
-                // client (trickled upload) keeps the connection; only
-                // stop on real errors or shutdown
+                // client (trickled upload) keeps the connection across
+                // per-read timeouts, but the WHOLE body is bounded by
+                // the request timeout — a silent client can't pin a
+                // connection thread forever
                 if ((errno == EAGAIN || errno == EWOULDBLOCK ||
-                     errno == EINTR) && !sv->stopping.load())
+                     errno == EINTR) && !sv->stopping.load() &&
+                    std::chrono::steady_clock::now() < body_deadline)
                     continue;
                 ::close(fd);
                 return;
