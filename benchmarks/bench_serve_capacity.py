@@ -1,0 +1,171 @@
+"""TRUE serving capacity: C++ closed-loop load generator vs the server.
+
+The round-3 HTTP numbers (benchmarks/bench_serve_http.py) were made
+with Python client processes, which bottleneck on their own GIL —
+1,621-1,770 captions/s for the native front-end was a lower bound with
+unknown slack.  This driver uses ``native/loadgen.cpp`` (one C++
+thread per connection, keep-alive, no interpreter anywhere in the
+client) and sweeps concurrency until the throughput knee, so the
+committed number is the SERVER's saturation point.
+
+For each concurrency point it records the loadgen's JSON (throughput,
+p50/p90/p99, client CPU seconds) and asserts the client stayed
+un-bottlenecked: client CPU utilization = (user+sys)/(wall*ncores)
+must be < 0.8 or the point is flagged.
+
+Usage:
+  python benchmarks/bench_serve_capacity.py [native|python|both]
+      [--duration 10] [--sweep 32,64,128,256,512] [--ids-per-req 1]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def build_service(tiny=False):
+    import jax
+
+    from lrcn_tpu.config import LRCNConfig
+    from lrcn_tpu.core.vocab import Vocab
+    from lrcn_tpu.data.feature_store import FeatureStore
+    from lrcn_tpu.models import lrcn
+    from lrcn_tpu.serve import CaptionService
+
+    if tiny:      # CPU smoke-test geometry, not a benchmark config
+        cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                         cnn_feature_dim=8, compute_dtype="float32")
+    else:
+        cfg = LRCNConfig(hidden=(1000, 1000), embed=1000, vocab_size=8800)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = jax.device_put(lrcn.init_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    feats = {i: np.abs(rng.standard_normal(cfg.cnn_feature_dim))
+             .astype(np.float32) for i in range(512)}
+    store = FeatureStore.from_dict(
+        {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    import jax.numpy as jnp
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=3,
+                         max_words=8 if tiny else 20,
+                         decode_batch=32 if tiny else 256,
+                         compute_dtype=jnp.float32 if tiny else jnp.bfloat16,
+                         max_wait_ms=10.0)
+    svc.warmup()
+    return svc
+
+
+def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1):
+    out = subprocess.run(
+        [exe, "127.0.0.1", str(port), str(conns), str(duration),
+         str(max_id), str(ids_per_req)],
+        capture_output=True, text=True, timeout=duration + 120)
+    if out.returncode != 0:
+        raise RuntimeError(f"loadgen failed: {out.stderr[-500:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn):
+    ncores = os.cpu_count() or 1
+    print(f"\n=== {name} frontend: closed-loop C++ clients, "
+          f"{duration}s per point, ids_per_req={ids_per_req} ===")
+    print(f"{'conns':>6} {'captions/s':>12} {'p50 ms':>8} {'p90 ms':>8} "
+          f"{'p99 ms':>8} {'errors':>7} {'cli CPU':>8}")
+    best = None
+    results = []
+    run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req)   # warm
+    for conns in conns_list:
+        before = stats_fn()
+        r = run_loadgen(exe, port, conns, duration,
+                        ids_per_req=ids_per_req)
+        after = stats_fn()
+        util = (r["cpu_user_s"] + r["cpu_sys_s"]) / (r["wall_s"] * ncores)
+        served = after.get("items", 0) - before.get("items", 0)
+        server_rate = served / r["wall_s"] if served else None
+        flag = "  <-- client-bound!" if util >= 0.8 else ""
+        print(f"{conns:>6} {r['captions_per_s']:>12,.0f} "
+              f"{r['p50_ms']:>8.1f} {r['p90_ms']:>8.1f} "
+              f"{r['p99_ms']:>8.1f} {r['errors']:>7} {util:>7.0%}{flag}")
+        r.update(conns=conns, client_util=util,
+                 server_side_rate=server_rate)
+        results.append(r)
+        if best is None or r["captions_per_s"] > best["captions_per_s"]:
+            best = r
+    knee = best["conns"]
+    print(f"\n{name}: peak {best['captions_per_s']:,.0f} captions/s at "
+          f"{knee} connections (p50 {best['p50_ms']:.0f}ms, "
+          f"p99 {best['p99_ms']:.0f}ms, client CPU "
+          f"{best['client_util']:.0%})")
+    if best.get("server_side_rate"):
+        print(f"{name}: server-side counter rate "
+              f"{best['server_side_rate']:,.0f} items/s")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", nargs="?", default="native",
+                    choices=["native", "python", "both"])
+    ap.add_argument("--duration", type=float, default=10.0)
+    ap.add_argument("--sweep", default="32,64,128,256,512")
+    ap.add_argument("--ids-per-req", type=int, default=1)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model smoke test (CPU CI), not a benchmark")
+    args = ap.parse_args()
+    conns_list = [int(c) for c in args.sweep.split(",")]
+
+    from lrcn_tpu.native import loadgen_binary
+
+    exe = loadgen_binary()
+    if exe is None:
+        sys.exit("loadgen unavailable (g++ missing or LRCN_NATIVE=0)")
+
+    svc = build_service(tiny=args.tiny)
+    all_results = {}
+
+    if args.which in ("python", "both"):
+        from lrcn_tpu.serve import make_server
+
+        server = make_server(svc, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        all_results["python"] = sweep(
+            exe, port, "python", conns_list, args.duration,
+            args.ids_per_req,
+            lambda: svc.stats().get("decode_ids", {}))
+        server.shutdown()
+        server.server_close()
+
+    if args.which in ("native", "both"):
+        from lrcn_tpu.serve.native_http import NativeFrontend
+
+        fe = NativeFrontend(svc, host="127.0.0.1", port=0,
+                            n_threads=max(conns_list) + 64, wait_ms=10)
+
+        def native_stats():
+            import http.client
+
+            conn = http.client.HTTPConnection("127.0.0.1", fe.port,
+                                              timeout=30)
+            try:
+                conn.request("GET", "/stats")
+                return json.loads(conn.getresponse().read())
+            finally:
+                conn.close()
+
+        all_results["native"] = sweep(
+            exe, fe.port, "native", conns_list, args.duration,
+            args.ids_per_req, native_stats)
+        fe.stop()
+
+    svc.close()
+    print("\n" + json.dumps(all_results))
+
+
+if __name__ == "__main__":
+    main()

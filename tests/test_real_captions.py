@@ -10,15 +10,18 @@ the 1000-image Flickr30k test (eval/flickr_refs/f_ref0..4) AND COCO val
 (eval/eval.jl:24-34,60-75) — five human captions per held-out image,
 both corpora parametrized through the same gate.
 
-Protocol: each image gets an identity feature code and is trained on 4
-of its 5 human references; beam search then captions every image and is
+Protocol: each image gets a noisy identity feature code and is trained
+on 4 of its 5 human references; beam search then captions every image
+FROM A FRESH NOISE REALIZATION of its code — feature vectors never
+seen in training, the configuration the real parity run faces — and is
 scored against the UNSEEN 5th reference.  The human inter-annotator
 BLEU — each held-in reference scored against the same held-out one —
 is computed on the fly as the calibration ceiling.  A model that
 produces real human-level captions lands inside the human range (the
 committed calibration run measures model BLEU-4 ≈ 1.06x the human
 mean); garbled or collapsed output measures ~0.2x (both measured while
-building this gate).
+building this gate).  A negative control decodes from MISMATCHED
+features and must crater, proving the score is feature-conditioned.
 
 This is the closest a data-blocked CI can get to the real-dataset
 BLEU-4 parity protocol (BASELINE.md; docs/RUNBOOK_PARITY.md runs the
@@ -78,16 +81,28 @@ def test_real_captions_quality_gate(reference_eval_dir, tmp_path,
             {"image_id": iid, "caption": refs[HELD_OUT][i]}
             for iid, i in zip(ids, sel)]}, f)
 
-    # identity feature codes (what a perfect, deterministic encoder would
-    # give a memorization corpus), L1-normalized like real fc7 features
-    rng = np.random.default_rng(17)
+    # identity feature codes + noise, L1-normalized like real fc7
+    # features.  TRAIN and EVAL use independent noise realizations of
+    # the same underlying codes: generation must decode from feature
+    # vectors never seen during training (the configuration the real
+    # parity run faces — val images produce fc7 rows the trainer never
+    # saw), not replay memorized vectors.
     eye = np.eye(len(ids), dtype=np.float32)
-    feats = {iid: eye[k] + 0.02 * np.abs(
-        rng.standard_normal(len(ids))).astype(np.float32)
-        for k, iid in enumerate(ids)}
-    feats = {iid: v / v.sum() for iid, v in feats.items()}
-    store = str(tmp_path / "feats")
-    FeatureStore.from_dict(feats, normalized=True).save(store)
+
+    def noisy_store(seed):
+        rng = np.random.default_rng(seed)
+        feats = {iid: eye[k] + 0.02 * np.abs(
+            rng.standard_normal(len(ids))).astype(np.float32)
+            for k, iid in enumerate(ids)}
+        return {iid: v / v.sum() for iid, v in feats.items()}
+
+    store = str(tmp_path / "feats_train")
+    FeatureStore.from_dict(noisy_store(17), normalized=True).save(store)
+    eval_store = str(tmp_path / "feats_eval")
+    eval_feats = noisy_store(18)               # fresh noise, unseen rows
+    FeatureStore.from_dict(eval_feats, normalized=True).save(eval_store)
+    for iid in ids[:4]:                        # really different vectors
+        assert not np.allclose(noisy_store(17)[iid], eval_feats[iid])
 
     ckpt = str(tmp_path / "ckpt")
     assert cli.main([
@@ -101,7 +116,7 @@ def test_real_captions_quality_gate(reference_eval_dir, tmp_path,
     cand = str(tmp_path / "cands.txt")
     ids_file = str(tmp_path / "ids.txt")
     assert cli.main([
-        "generate", "--loadfile", ckpt, "--features", store,
+        "generate", "--loadfile", ckpt, "--features", eval_store,
         "--datafiles", train_json, val_json, "--vocab-min-count", "1",
         "--capnumber", str(len(ids)), "--generate", str(MAX_WORDS + 4),
         "--beam_width", "3", "--batch-size", str(len(ids)),
@@ -145,3 +160,30 @@ def test_real_captions_quality_gate(reference_eval_dir, tmp_path,
     # 0.6x separates them with margin on both sides
     assert model.bleu[3] >= 0.6 * h4, diag
     assert model.bleu[0] >= 0.8 * h1, diag
+
+    # negative control: decoding from MISMATCHED features must crater —
+    # proof the score above comes from feature-conditioned decoding of
+    # unseen vectors, not from a feature-blind language prior.  Rotate
+    # every image's code to its neighbor's and re-run the exact
+    # protocol.
+    shuffled = {ids[k]: eval_feats[ids[(k + 1) % len(ids)]]
+                for k in range(len(ids))}
+    bad_store = str(tmp_path / "feats_shuffled")
+    FeatureStore.from_dict(shuffled, normalized=True).save(bad_store)
+    bad_cand = str(tmp_path / "cands_bad.txt")
+    assert cli.main([
+        "generate", "--loadfile", ckpt, "--features", bad_store,
+        "--datafiles", train_json, val_json, "--vocab-min-count", "1",
+        "--capnumber", str(len(ids)), "--generate", str(MAX_WORDS + 4),
+        "--beam_width", "3", "--batch-size", str(len(ids)),
+        "--out", bad_cand, "--ids-out", str(tmp_path / "ids_bad.txt"),
+        "--seed", "7", "--compute-dtype", "float32"]) == 0
+    bad_order = [int(x) for x in
+                 open(tmp_path / "ids_bad.txt").read().split()]
+    bad_refs = str(tmp_path / "refs_bad")
+    write_reference_files(bad_order, caps, bad_refs, "ref", n_refs=1)
+    bad = multi_bleu_files(str(tmp_path / "refs_bad" / "ref"), bad_cand)
+    assert bad.bleu[3] < 0.6 * h4, (
+        f"mismatched features still score b4={bad.bleu[3]:.4f} "
+        f"(bar {0.6 * h4:.4f}) — the gate is not feature-conditioned")
+    assert bad.bleu[3] < 0.5 * model.bleu[3], (model.bleu, bad.bleu)
