@@ -39,6 +39,13 @@ MAX_BODY_BYTES = 64 << 20
 
 def make_handler(service: CaptionService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 -> persistent connections.  Without keep-alive every
+        # request pays a connect + thread spawn; under closed-loop C++
+        # load (bench_serve_capacity.py) the server drowns in connection
+        # churn at ~100 clients.  Every _reply sends Content-Length, so
+        # 1.1 framing is always valid.
+        protocol_version = "HTTP/1.1"
+
         # quiet default request logging; metrics live in /stats
         def log_message(self, fmt, *args):   # noqa: ARG002
             pass

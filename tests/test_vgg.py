@@ -320,11 +320,15 @@ def test_extract_features_survives_sigkill(tmp_path):
     # killing BEFORE the first flush invalidates the test's premise.
     deadline = time.time() + 900
     flushed = False
-    while time.time() < deadline and not _child_died_early():
+    while time.time() < deadline:
+        # flush check FIRST: when this (polling) process is starved long
+        # enough for the child to finish the whole run, the early-death
+        # probe must not fire on a child that flushed plenty
         if any(os.path.exists(os.path.join(p, "meta.json"))
                for p in (out, out + ".tmp", out + ".old")):
             flushed = True
             break
+        _child_died_early()
         time.sleep(0.02)
     child.send_signal(signal.SIGKILL)
     child.wait()
@@ -336,6 +340,12 @@ def test_extract_features_survives_sigkill(tmp_path):
         "no loadable snapshot after SIGKILL"
     partial = FeatureStore.load(out)
     done_at_kill = len(partial)
+    if done_at_kill == n_images:
+        # the poller was starved past the end of the child's run (seen
+        # only under a fully loaded suite) — the crash-window premise is
+        # gone; the in-isolation run covers it
+        pytest.skip("extraction finished before the kill could land "
+                    "(starved test process)")
     assert 0 < done_at_kill < n_images, \
         f"kill did not land mid-run ({done_at_kill}/{n_images})"
     # each flush covers whole groups: flush_every=1 group of 2 batches of 4
