@@ -85,7 +85,10 @@ def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn):
                         ids_per_req=ids_per_req)
         after = stats_fn()
         util = (r["cpu_user_s"] + r["cpu_sys_s"]) / (r["wall_s"] * ncores)
-        served = after.get("items", 0) - before.get("items", 0)
+        # native /stats exports 'items'; the Python batcher snapshot
+        # calls the same counter 'requests'
+        served = (after.get("items", after.get("requests", 0))
+                  - before.get("items", before.get("requests", 0)))
         server_rate = served / r["wall_s"] if served else None
         flag = "  <-- client-bound!" if util >= 0.8 else ""
         print(f"{conns:>6} {r['captions_per_s']:>12,.0f} "

@@ -127,7 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--bestfile was declared in a stale variant and "
                         "referenced at lrcn.jl:63 without being declared "
                         "— a latent KeyError; here it works)")
-    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=10,
+                   help="TOTAL epoch budget, counting epochs a resumed "
+                        "checkpoint already completed — re-running the "
+                        "identical command after a crash stops at N "
+                        "(raise it to continue training a finished "
+                        "model; the reference instead always trains N "
+                        "more, lrcn.jl:225)")
     # None = "not passed": fresh runs fall back to the LRCNConfig defaults
     # (batchsize 25, lr 1e-3, gclip 0, dropout 0.4 — lrcn.jl:41-45,227);
     # resumed runs keep the checkpoint's values unless a flag is given.
@@ -559,7 +565,8 @@ def cmd_train(args) -> int:
                 val_store, jax.random.PRNGKey(max(cfg.seed, 0) + 1),
                 savefile=args.savefile, bestfile=args.bestfile,
                 ckpt_every=args.ckpt_every,
-                resume_position=(ckpt or {}).get("position"))
+                resume_position=(ckpt or {}).get("position"),
+                completed_epochs=(ckpt or {}).get("epoch", 0))
     metrics.close()
     return 0
 
@@ -695,7 +702,8 @@ def _train_joint(args) -> int:
                 jax.random.PRNGKey(max(cfg.seed, 0) + 1),
                 savefile=args.savefile, bestfile=args.bestfile,
                 ckpt_every=args.ckpt_every,
-                resume_position=(ckpt or {}).get("position"))
+                resume_position=(ckpt or {}).get("position"),
+                completed_epochs=(ckpt or {}).get("epoch", 0))
     metrics.close()
     return 0
 
@@ -808,17 +816,16 @@ def cmd_extract_features(args) -> int:
     from lrcn_tpu.data.images import extract_features
     from lrcn_tpu.models.vgg import load_matconvnet
 
-    vgg_params = avg = None
-    if args.loadfile:
+    if args.vgg_model:          # an explicit --cnn wins over the checkpoint
+        vgg_params, avg = load_matconvnet(args.vgg_model)
+    elif args.loadfile:
         vgg_params, avg = _joint_encoder(args.loadfile)
         if vgg_params is None:
             raise SystemExit(
                 "lrcn extract-features: --loadfile must be a joint "
                 "(cnn+decoder) checkpoint; decoder-only checkpoints have "
                 "no encoder — pass --cnn instead")
-    if args.vgg_model:          # an explicit --cnn wins over the checkpoint
-        vgg_params, avg = load_matconvnet(args.vgg_model)
-    elif vgg_params is None:
+    else:
         raise SystemExit("lrcn extract-features: pass --cnn <vgg .mat> "
                          "or --loadfile <joint checkpoint>")
     vgg_params = jax.device_put(vgg_params)

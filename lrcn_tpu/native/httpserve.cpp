@@ -90,8 +90,15 @@ struct Server {
 
 bool server_stopping(const Server* sv) { return sv->stopping.load(); }
 
+// `deadline` (optional) bounds the WHOLE line read: between requests a
+// pooled client may idle indefinitely (no deadline), but once a request
+// has started, header lines must keep arriving — otherwise a slowloris
+// client trickling one header byte per poll interval pins this
+// connection thread forever and exhausts the thread limit.
 bool read_line(const Server* sv, int fd, std::string& line,
-               std::string& buf) {
+               std::string& buf,
+               const std::chrono::steady_clock::time_point* deadline
+                   = nullptr) {
     for (;;) {
         size_t nl = buf.find("\r\n");
         if (nl != std::string::npos) {
@@ -104,10 +111,13 @@ bool read_line(const Server* sv, int fd, std::string& line,
         if (n == 0) return false;                     // peer closed
         if (n < 0) {
             // SO_RCVTIMEO expiry: idle keep-alive wakeup — re-check the
-            // stopping flag and keep waiting (a pooled client may idle
-            // far longer than the 5s poll interval)
+            // stopping flag (and the request deadline, if any) and keep
+            // waiting (a pooled client may idle far longer than the 5s
+            // poll interval)
             if ((errno == EAGAIN || errno == EWOULDBLOCK ||
-                 errno == EINTR) && !server_stopping(sv))
+                 errno == EINTR) && !server_stopping(sv) &&
+                (deadline == nullptr ||
+                 std::chrono::steady_clock::now() < *deadline))
                 continue;
             return false;
         }
@@ -232,6 +242,11 @@ void handle_connection(Server* sv, int fd) {
         std::string reqline;
         if (!read_line(sv, fd, reqline, buf)) break;
         if (reqline.empty()) continue;
+        // a request has started: header lines are bounded by the
+        // request timeout (slow-header slowloris defense; the body loop
+        // below has the same bound)
+        auto hdr_deadline = std::chrono::steady_clock::now() +
+            std::chrono::milliseconds(sv->request_timeout_ms);
         // headers (exception-free parsing: an uncaught throw in this
         // detached thread would std::terminate the whole process)
         size_t content_length = 0;
@@ -239,7 +254,10 @@ void handle_connection(Server* sv, int fd) {
         bool bad_headers = false, chunked = false;
         for (;;) {
             std::string h;
-            if (!read_line(sv, fd, h, buf)) { ::close(fd); return; }
+            if (!read_line(sv, fd, h, buf, &hdr_deadline)) {
+                ::close(fd);
+                return;
+            }
             if (h.empty()) break;
             for (auto& c : h) c = tolower(c);
             if (h.rfind("content-length:", 0) == 0) {

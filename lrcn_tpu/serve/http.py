@@ -51,10 +51,30 @@ def make_handler(service: CaptionService):
             pass
 
         def _reply(self, code: int, payload: dict) -> None:
+            # Keep-alive discipline: replying while request-body bytes
+            # are still unread (404 on a POSTed path, 413 oversize, bad
+            # JSON length) would desync the stream — the next
+            # handle_one_request would parse body bytes as a request
+            # line.  Drain small remainders; close on big or unknowable
+            # ones.
+            try:
+                unread = (int(self.headers.get("Content-Length", "0")
+                              or 0) - getattr(self, "_body_read", 0))
+            except ValueError:
+                unread = -1                 # unparseable: can't recover
+            if unread > 0 and unread <= (1 << 20):
+                try:
+                    self.rfile.read(unread)
+                except OSError:
+                    self.close_connection = True
+            elif unread:
+                self.close_connection = True
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -78,7 +98,9 @@ def make_handler(service: CaptionService):
                     self._reply(413, {"error": f"body {length} B exceeds "
                                                f"{MAX_BODY_BYTES} B"})
                     return
-                req = json.loads(self.rfile.read(length) or b"{}")
+                raw = self.rfile.read(length)
+                self._body_read = length
+                req = json.loads(raw or b"{}")
                 captions = self._dispatch(req)
             except BatcherOverloaded as e:  # backpressure: shed load
                 self._reply(503, {"error": str(e)})

@@ -66,10 +66,8 @@ class NativeFrontend:
         self._max_inflight = max_inflight
         # pre-compile every burst shape so traffic never recompiles
         # (grouped drain works under a mesh too: groups scan, each
-        # batch shards along 'data')
-        for g in range(2, service.MAX_DECODE_GROUPS + 1):
-            service._decode_finalize(service._decode_rows_grouped(
-                [0] * (service.decode_batch * (g - 1) + 1)))
+        # batch shards along 'data'); no-op if warmup() already ran
+        service.warmup_burst_shapes()
         self._stop = threading.Event()
         self._pump = threading.Thread(target=self._run, name="lrcn-pump",
                                       daemon=True)

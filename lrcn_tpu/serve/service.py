@@ -362,16 +362,26 @@ class CaptionService:
         if self._rows_batcher is not None:
             self._await_all([self._rows_batcher.submit(0)],
                             timeout_s=timeout_s)
-            # every burst shape, so traffic spikes never recompile
-            for g in range(2, self.MAX_DECODE_GROUPS + 1):
-                self._decode_finalize(self._decode_rows_grouped(
-                    [0] * (self.decode_batch * (g - 1) + 1)))
+            self.warmup_burst_shapes()
         if self._encode is not None:
             feat = self._await_all(
                 [self._encode.submit(np.zeros((224, 224, 3), np.uint8))],
                 timeout_s=timeout_s)[0]
             self._await_all([self._decode.submit(feat)],
                             timeout_s=timeout_s)
+
+    def warmup_burst_shapes(self) -> None:
+        """Compile every grouped burst shape (g=2..MAX_DECODE_GROUPS) so
+        traffic spikes never recompile.  Idempotent (compilation cache);
+        called by :meth:`warmup` and by the native front-end."""
+        if self._table is None:
+            return
+        if getattr(self, "_burst_warm", False):
+            return
+        for g in range(2, self.MAX_DECODE_GROUPS + 1):
+            self._decode_finalize(self._decode_rows_grouped(
+                [0] * (self.decode_batch * (g - 1) + 1)))
+        self._burst_warm = True
 
     def stats(self) -> dict:
         out = {"decode": self._decode.stats.snapshot()}

@@ -220,7 +220,8 @@ class JointTrainer:
             val_batches: Sequence[Batch] | None, rng_key: jax.Array, *,
             epochs: int | None = None, savefile: str | None = None,
             bestfile: str | None = None, ckpt_every: int | None = None,
-            resume_position: dict | None = None) -> tuple:
+            resume_position: dict | None = None,
+            completed_epochs: int = 0) -> tuple:
         """Epoch loop; ``ckpt_every``/``resume_position`` give the same
         crash-safe mid-epoch checkpointing as the decoder trainer."""
         import copy
@@ -233,10 +234,18 @@ class JointTrainer:
                     "n_batches": len(train_batches)}
         start_epoch, start_dispatch, rng_key = resume_start(
             resume_position, shuffle_rng, rng_key, geometry)
-        # resuming mid-epoch, `epochs` is the TOTAL budget (see
-        # Trainer.fit): the same command re-run after a crash stops at
-        # epoch N instead of start_epoch+N-1
-        end_epoch = epochs if resume_position else start_epoch + epochs - 1
+        # on ANY resume, `epochs` is the TOTAL budget (see Trainer.fit);
+        # epoch-complete checkpoints continue their epoch labels via
+        # ``completed_epochs``
+        if not resume_position and completed_epochs:
+            start_epoch = completed_epochs + 1
+        resumed = bool(resume_position) or completed_epochs > 0
+        end_epoch = epochs if resumed else start_epoch + epochs - 1
+        if start_epoch > end_epoch:
+            print(f"train --joint: checkpoint already covers "
+                  f"{completed_epochs} of the {epochs}-epoch budget — "
+                  f"nothing to do (raise --epochs to continue)")
+            return params, opt_state
         for epoch in range(start_epoch, end_epoch + 1):
             epoch_state = copy.deepcopy(shuffle_rng.bit_generator.state)
             epoch_key = np.asarray(rng_key)

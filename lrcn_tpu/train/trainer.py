@@ -343,7 +343,8 @@ class Trainer:
             rng_key: jax.Array, *, epochs: int | None = None,
             savefile: str | None = None, bestfile: str | None = None,
             eval_train_loss: bool = True, ckpt_every: int | None = None,
-            resume_position: dict | None = None) -> tuple:
+            resume_position: dict | None = None,
+            completed_epochs: int = 0) -> tuple:
         """Full training loop (reference: train!, lrcn.jl:223-246).
 
         ``bestfile``: additionally checkpoint whenever the epoch's
@@ -369,11 +370,21 @@ class Trainer:
                     "n_batches": len(train_batches)}
         start_epoch, start_dispatch, rng_key = resume_start(
             resume_position, shuffle_rng, rng_key, geometry)
-        # Resuming mid-epoch, `epochs` is the TOTAL budget: re-running the
+        # On ANY resume, `epochs` is the TOTAL budget: re-running the
         # identical `lrcn train --epochs N --loadfile ...` after a crash
-        # finishes at epoch N, not start_epoch+N-1.  Fresh runs have
-        # start_epoch == 1 so the range is 1..N either way.
-        end_epoch = epochs if resume_position else start_epoch + epochs - 1
+        # finishes at epoch N, not start+N-1.  Mid-epoch positions carry
+        # their own epoch; epoch-complete checkpoints pass the finished
+        # count as ``completed_epochs`` (epoch labels continue from it).
+        # Fresh runs have start_epoch == 1 so the range is 1..N.
+        if not resume_position and completed_epochs:
+            start_epoch = completed_epochs + 1
+        resumed = bool(resume_position) or completed_epochs > 0
+        end_epoch = epochs if resumed else start_epoch + epochs - 1
+        if start_epoch > end_epoch:
+            print(f"train: checkpoint already covers {completed_epochs} "
+                  f"of the {epochs}-epoch budget — nothing to do "
+                  f"(raise --epochs to continue training)")
+            return params, opt_state
         for epoch in range(start_epoch, end_epoch + 1):
             epoch_state = copy.deepcopy(shuffle_rng.bit_generator.state)
             epoch_key = np.asarray(rng_key)

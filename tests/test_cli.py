@@ -104,9 +104,20 @@ def test_train_resume_from_checkpoint(synthetic):
             "--hidden", "32", "32", "--embed", "24", "--seed", "3",
             "--dropout", "0.0", "--compute-dtype", "float32"]
     assert cli.main(base + ["--savefile", ckpt]) == 0
-    # resume training from the checkpoint (reference --loadfile, lrcn.jl:88)
+    # resume training from the checkpoint (reference --loadfile,
+    # lrcn.jl:88).  --epochs is the TOTAL budget: the checkpoint already
+    # covers 1 epoch, so --epochs 2 trains exactly one more (labeled 2)
+    resume2 = str(tmp / "ckpt_resume2")
+    base2 = [a if a != "1" else "2" for a in base]
+    assert cli.main(base2 + ["--loadfile", ckpt,
+                             "--savefile", resume2]) == 0
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+    assert load_checkpoint(resume2)["epoch"] == 2
+    # re-running the ORIGINAL command is a no-op, not an overshoot
     assert cli.main(base + ["--loadfile", ckpt,
-                            "--savefile", str(tmp / "ckpt_resume2")]) == 0
+                            "--savefile", str(tmp / "noop")]) == 0
+    assert not os.path.exists(os.path.join(str(tmp / "noop"),
+                                           "params.npz"))
 
 
 def test_train_on_mesh(synthetic):
@@ -295,8 +306,10 @@ def test_train_joint_cli(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(ckpt, "average_image.npy"))
 
     # resume the joint run (restores encoder+decoder+opt state); scanned
-    # K-steps-per-dispatch exercises the stacked uint8 image path
-    assert cli.main(base + ["--loadfile", ckpt,
+    # K-steps-per-dispatch exercises the stacked uint8 image path.
+    # --epochs 2 = total budget (the checkpoint covers epoch 1)
+    base_resume = [a if a != "1" else "2" for a in base]
+    assert cli.main(base_resume + ["--loadfile", ckpt,
                             "--steps-per-dispatch", "2", "--no-remat-cnn",
                             "--savefile", str(tmp_path / "joint2")]) == 0
 
@@ -468,6 +481,16 @@ def test_joint_warm_start_from_decoder_checkpoint(tmp_path):
     avg = np.load(os.path.join(out_ckpt, "average_image.npy"))
     assert avg.shape == (224, 224, 3) and np.allclose(avg, 120)
 
+    # extract-features with BOTH --loadfile (decoder-only) and --cnn:
+    # the explicit --cnn wins, as the help text promises — the
+    # checkpoint is not even loaded, so decoder-only is fine here
+    both_store = str(tmp_path / "feats_both")
+    assert cli.main(["extract-features", "--loadfile", dec_ckpt,
+                     "--cnn", mat_path, "--images", str(img_dir),
+                     "--out", both_store, "--batch-size", "4",
+                     "--scan-depth", "1",
+                     "--compute-dtype", "float32"]) == 0
+
     # dim mismatch between decoder checkpoint and encoder fc7 is refused
     cfg_bad = LRCNConfig(hidden=(16, 16), embed=12, cnn_feature_dim=64,
                          vocab_size=len(vocab), compute_dtype="float32")
@@ -505,7 +528,7 @@ def test_train_resume_honors_explicit_flags(synthetic, tmp_path, capsys):
         "train", "--datafiles", synthetic["token"],
         "--features", synthetic["feats"], "--loadfile", ckpt,
         "--savefile", str(tmp_path / "ckpt_override"),
-        "--epochs", "1", "--lr", "5e-4", "--batchsize", "8"])
+        "--epochs", "2", "--lr", "5e-4", "--batchsize", "8"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "overrides checkpoint lr=" in out

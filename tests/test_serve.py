@@ -474,6 +474,48 @@ def test_http_body_size_cap():
                               "Content-Length": str(MAX_BODY_BYTES + 1)})
         resp = conn.getresponse()
         assert resp.status == 413
+        # the body was never read -> the server must not pretend the
+        # keep-alive stream is still in sync
+        assert resp.getheader("Connection") == "close"
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_keepalive_survives_unread_body_replies():
+    """HTTP/1.1 keep-alive: replies sent before the request body was
+    read (404 on a POSTed path) must not desync the connection — the
+    server drains the unread body and the SAME connection keeps
+    serving.  Regression for the protocol_version='HTTP/1.1' switch."""
+
+    class Stub:
+        def caption_ids(self, ids):
+            return ["x ." for _ in ids]
+
+        def stats(self):
+            return {}
+
+    server = make_server(Stub(), host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        # 404 with an unread body: server drains it, connection survives
+        conn.request("POST", "/nope",
+                     body=json.dumps({"pad": "y" * 2048}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # SAME connection: the next request must parse cleanly
+        for _ in range(3):
+            conn.request("POST", "/v1/caption",
+                         body=json.dumps({"id": 1}),
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 200 and body["captions"] == ["x ."]
         conn.close()
     finally:
         server.shutdown()

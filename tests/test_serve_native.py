@@ -201,6 +201,57 @@ def test_native_pump_survives_decode_failure(frontend, monkeypatch):
     assert status == 200 and len(out["captions"]) == 1
 
 
+def test_native_slow_header_connection_is_released():
+    """A client that starts a request and then trickles (or stops
+    sending) header bytes must be disconnected once the request timeout
+    passes — otherwise n_threads such clients pin every connection
+    thread forever and all real clients get 503 (slowloris)."""
+    import socket
+    import time
+
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                     cnn_feature_dim=8)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    feats = {100 + i: np.abs(rng.standard_normal(
+        cfg.cnn_feature_dim)).astype(np.float32) for i in range(4)}
+    store = FeatureStore.from_dict(
+        {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                         max_words=8, decode_batch=4,
+                         compute_dtype=jnp.float32,
+                         request_timeout_s=2.0)
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=8)
+    try:
+        s = socket.create_connection(("127.0.0.1", fe.port), timeout=30)
+        # request line arrives, then the headers stall
+        s.sendall(b"POST /v1/caption HTTP/1.1\r\nX-Slow: ")
+        s.settimeout(20)
+        t0 = time.monotonic()
+        closed = False
+        try:
+            while time.monotonic() - t0 < 15:
+                if s.recv(4096) == b"":
+                    closed = True
+                    break
+        except TimeoutError:
+            pass
+        s.close()
+        # request timeout 2s + SO_RCVTIMEO poll 5s -> released well
+        # before the 15s observation window ends
+        assert closed, "slow-header connection still held after 15s"
+        # the server is alive and serving afterwards
+        status, out = _request(fe.port, "POST", "/v1/caption",
+                               {"id": 100})
+        assert status == 200 and len(out["captions"]) == 1
+    finally:
+        fe.stop()
+        svc.close()
+
+
 def test_native_finalize_failure_fails_fast(frontend, monkeypatch):
     """When finalize blows up on the batch just popped from `pending`,
     its requests must get their 500 immediately — not sit out the full
