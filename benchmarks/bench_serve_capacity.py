@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 
-def build_service(tiny=False):
+def build_service(tiny=False, burst_groups=None):
     import jax
 
     from lrcn_tpu.config import LRCNConfig
@@ -55,7 +55,7 @@ def build_service(tiny=False):
                          max_words=8 if tiny else 20,
                          decode_batch=32 if tiny else 256,
                          compute_dtype=jnp.float32 if tiny else jnp.bfloat16,
-                         max_wait_ms=10.0)
+                         max_wait_ms=10.0, max_burst_groups=burst_groups)
     svc.warmup()
     return svc
 
@@ -119,6 +119,8 @@ def main():
     ap.add_argument("--ids-per-req", type=int, default=1)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model smoke test (CPU CI), not a benchmark")
+    ap.add_argument("--burst-groups", type=int, default=None,
+                    help="CaptionService max_burst_groups override")
     args = ap.parse_args()
     conns_list = [int(c) for c in args.sweep.split(",")]
 
@@ -128,7 +130,7 @@ def main():
     if exe is None:
         sys.exit("loadgen unavailable (g++ missing or LRCN_NATIVE=0)")
 
-    svc = build_service(tiny=args.tiny)
+    svc = build_service(tiny=args.tiny, burst_groups=args.burst_groups)
     all_results = {}
 
     if args.which in ("python", "both"):

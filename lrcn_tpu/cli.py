@@ -334,6 +334,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-queue", type=int, default=None,
                    help="shed load (HTTP 503) when a stage's queue "
                         "exceeds this depth; default unbounded")
+    p.add_argument("--max-burst-groups", type=int, default=None,
+                   help="backlog batches drained in ONE scanned "
+                        "dispatch (default 4); deeper drains faster at "
+                        "the cost of per-dispatch tail latency "
+                        "(measured G=4/8/16: 12.1k/15.2k/18.0k "
+                        "captions/s at ~85/135/228 ms per dispatch)")
     p.add_argument("--native-frontend", action="store_true",
                    help="serve through the C++ HTTP front-end "
                         "(native/httpserve.cpp): per-request work out "
@@ -917,7 +923,8 @@ def make_caption_service(args):
         encode_batch=args.encode_batch, max_wait_ms=args.max_wait_ms,
         compute_dtype=jnp.dtype(args.compute_dtype), mesh=mesh,
         max_queue=getattr(args, "max_queue", None),
-        request_timeout_s=getattr(args, "request_timeout", 60.0))
+        request_timeout_s=getattr(args, "request_timeout", 60.0),
+        max_burst_groups=getattr(args, "max_burst_groups", None))
 
 
 def cmd_serve(args) -> int:

@@ -210,6 +210,30 @@ def test_service_matches_offline_decoder(tiny_model):
         svc.close()
 
 
+def test_service_burst_depth_configurable(tiny_model):
+    """`max_burst_groups` overrides MAX_DECODE_GROUPS: a backlog deeper
+    than the default 4 batches drains in ONE grouped dispatch with
+    output identical to the per-batch path."""
+    cfg, vocab, params = tiny_model
+    store = _make_store(cfg)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                        max_words=8, decode_batch=2,
+                        compute_dtype=jnp.float32, max_burst_groups=6)
+    try:
+        assert svc.MAX_DECODE_GROUPS == 6
+        svc.warmup()
+        ids = [store.ids()[i % len(store.ids())] for i in range(11)]
+        rows = [int(r) for r in store.rows(ids)]
+        grouped = svc._decode_finalize(svc._decode_rows_grouped(rows))
+        assert grouped == svc.caption_ids(ids)
+    finally:
+        svc.close()
+    with pytest.raises(ValueError, match="max_burst_groups"):
+        CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                       max_words=8, decode_batch=2,
+                       compute_dtype=jnp.float32, max_burst_groups=0)
+
+
 def test_service_concurrent_requests_batch(tiny_model):
     cfg, vocab, params = tiny_model
     store = _make_store(cfg)
