@@ -147,10 +147,18 @@ def httpserve_library() -> ctypes.CDLL | None:
         lib.lrcn_serve_next.restype = ctypes.c_int
         lib.lrcn_serve_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
-            ctypes.POINTER(LL), ctypes.c_int, ctypes.c_int]
+            ctypes.POINTER(LL), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
         lib.lrcn_serve_respond.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
+        lib.lrcn_serve_set_vocab.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int]
+        lib.lrcn_serve_respond_tokens.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.lrcn_serve_error.argtypes = [ctypes.c_void_p, LL,
                                          ctypes.c_int, ctypes.c_char_p]
         lib.lrcn_serve_stop.argtypes = [ctypes.c_void_p]

@@ -86,6 +86,11 @@ struct Server {
         errors{0};
 
     int request_timeout_ms = 60000;   // condvar wait bound -> 504
+
+    // token id -> word, registered once by the pump (set_vocab) so
+    // responses can be built from RAW device tokens without Python
+    // detokenization on the hot path
+    std::vector<std::string> vocab;
 };
 
 bool server_stopping(const Server* sv) { return sv->stopping.load(); }
@@ -497,15 +502,37 @@ void* lrcn_serve_start(const char* host, int port, int n_threads,
 
 int lrcn_serve_port(void* h) { return ((Server*)h)->port; }
 
-// Pull a batch: block up to wait_ms for the first item, then drain up to
-// max_n without waiting. Returns n (0 on timeout/stop).
+// Pull a batch: block up to wait_ms for the first item, then keep
+// collecting for up to fill_ms more — ending EARLY once `min_n` items
+// are queued — before draining up to max_n. Returns n (0 on
+// timeout/stop).
+//
+// The fill window is what keeps dispatches FULL under closed-loop
+// load: responses go out in a batch-sized burst, the clients' next
+// requests arrive over the following few ms, and a drain that fires
+// on the first arrival would dispatch a sliver of the batch (measured:
+// the knee sat at ~54% of the grouped-drain rate with fill_ms=0).
+// `min_n` is the caller's arrival forecast (the pump passes the size
+// of the batch it just responded to — closed-loop clients re-request
+// immediately), so a full refill never waits out the deadline and a
+// partial one is bounded by fill_ms.
 int lrcn_serve_next(void* h, long long* ids, long long* reqs,
-                    long long* slots, int max_n, int wait_ms) {
+                    long long* slots, int max_n, int wait_ms,
+                    int fill_ms, int min_n) {
     auto* sv = (Server*)h;
+    if (min_n > max_n) min_n = max_n;
     std::unique_lock<std::mutex> lk(sv->qmu);
     if (sv->queue.empty()) {
         sv->qcv.wait_for(lk, std::chrono::milliseconds(wait_ms), [&] {
             return !sv->queue.empty() || sv->stopping.load(); });
+    }
+    if (!sv->queue.empty() && fill_ms > 0 &&
+        sv->queue.size() < (size_t)(min_n > 0 ? min_n : max_n)) {
+        // wait until the expected batch arrives or the window closes; a
+        // partial batch at the deadline drains as-is
+        size_t want = (size_t)(min_n > 0 ? min_n : max_n);
+        sv->qcv.wait_for(lk, std::chrono::milliseconds(fill_ms), [&] {
+            return sv->queue.size() >= want || sv->stopping.load(); });
     }
     int n = 0;
     while (n < max_n && !sv->queue.empty()) {
@@ -523,21 +550,58 @@ int lrcn_serve_next(void* h, long long* ids, long long* reqs,
     return n;
 }
 
+void fill_slot(Server* sv, long long serial, long long slot,
+               std::string caption) {
+    // caller holds live_mu
+    auto it = sv->live.find(serial);
+    if (it == sv->live.end()) return;           // connection went away
+    Request* r = it->second;
+    std::lock_guard<std::mutex> lk(r->mu);
+    if (r->error_status) return;
+    r->captions[(size_t)slot] = std::move(caption);
+    r->filled++;
+    if (r->done()) r->cv.notify_all();
+}
+
 // Fill caption slots; flushes any request whose slots are all filled.
 void lrcn_serve_respond(void* h, const long long* reqs,
                         const long long* slots, const char** captions,
                         int n) {
     auto* sv = (Server*)h;
     std::lock_guard<std::mutex> live(sv->live_mu);
+    for (int i = 0; i < n; i++)
+        fill_slot(sv, reqs[i], slots[i], captions[i]);
+}
+
+// Register the id->word table once so lrcn_serve_respond_tokens can
+// build captions from raw device tokens (no per-caption Python work).
+void lrcn_serve_set_vocab(void* h, const char** words, int n) {
+    auto* sv = (Server*)h;
+    sv->vocab.assign(words, words + n);
+}
+
+// Fill caption slots from RAW token rows. `tokens` is n rows of t_cap
+// int32 ids; row layout matches decode/writer.py caption_to_line —
+// tokens[0] is BOS (skipped), words accumulate until `eos_id`, and the
+// caption line is "w1 w2 ... wn ." (reference lrcn.jl:634-640).
+void lrcn_serve_respond_tokens(void* h, const long long* reqs,
+                               const long long* slots,
+                               const int* tokens, int t_cap,
+                               int eos_id, int n) {
+    auto* sv = (Server*)h;
+    std::lock_guard<std::mutex> live(sv->live_mu);
     for (int i = 0; i < n; i++) {
-        auto it = sv->live.find(reqs[i]);
-        if (it == sv->live.end()) continue;     // connection went away
-        Request* r = it->second;
-        std::lock_guard<std::mutex> lk(r->mu);
-        if (r->error_status) continue;
-        r->captions[(size_t)slots[i]] = captions[i];
-        r->filled++;
-        if (r->done()) r->cv.notify_all();
+        const int* row = tokens + (size_t)i * t_cap;
+        std::string cap;
+        for (int t = 1; t < t_cap; t++) {
+            if (row[t] == eos_id) break;
+            if (row[t] < 0 || (size_t)row[t] >= sv->vocab.size())
+                continue;                        // defensive: bad id
+            cap += sv->vocab[(size_t)row[t]];
+            cap += ' ';
+        }
+        cap += '.';
+        fill_slot(sv, reqs[i], slots[i], std::move(cap));
     }
 }
 

@@ -39,7 +39,7 @@ class NativeFrontend:
     def __init__(self, service: CaptionService, host: str = "0.0.0.0",
                  port: int = 8000, n_threads: int = 128,
                  max_queue: int = 4096, wait_ms: int = 3,
-                 max_inflight: int = 2):
+                 max_inflight: int = 2, fill_ms: int = 20):
         if service._table is None:
             raise RuntimeError(
                 "native frontend needs the HBM-resident feature table "
@@ -63,7 +63,15 @@ class NativeFrontend:
             raise RuntimeError(f"could not bind {host_ip}:{port}")
         self.port = lib.lrcn_serve_port(self._h)
         self._wait_ms = wait_ms
+        self._fill_ms = fill_ms
         self._max_inflight = max_inflight
+        # register the vocab so responses are built in C++ from raw
+        # device tokens (the Python per-caption detokenize + encode
+        # loop cost ~25 ms per full burst cycle)
+        words = [service.vocab.word(i).encode()
+                 for i in range(len(service.vocab))]
+        lib.lrcn_serve_set_vocab(
+            self._h, (ctypes.c_char_p * len(words))(*words), len(words))
         # pre-compile every burst shape so traffic never recompiles
         # (grouped drain works under a mesh too: groups scan, each
         # batch shards along 'data'); no-op if warmup() already ran
@@ -75,12 +83,13 @@ class NativeFrontend:
 
     # --- pump thread: per-batch Python ---
 
-    def _pull(self, max_n: int):
+    def _pull(self, max_n: int, expect: int = 0):
         ids = (_LL * max_n)()
         reqs = (_LL * max_n)()
         slots = (_LL * max_n)()
         n = self._lib.lrcn_serve_next(self._h, ids, reqs, slots, max_n,
-                                      self._wait_ms)
+                                      self._wait_ms, self._fill_ms,
+                                      expect)
         return n, ids, reqs, slots
 
     def _run(self) -> None:
@@ -92,10 +101,28 @@ class NativeFrontend:
         batch_cap = svc.decode_batch * svc.MAX_DECODE_GROUPS
         pending: deque = deque()
         current = None   # batch popped from `pending`, mid-finalize
+        responded = 0    # items in the last responded batch: the pull's
+        #                  arrival forecast (closed-loop clients
+        #                  re-request as soon as they hear back)
         while not self._stop.is_set():
             n = 0
             try:
-                n, ids, reqs, slots = self._pull(batch_cap)
+                # keep the pipeline primed: finalize the OLDEST dispatch
+                # only when the in-flight budget is full — responding
+                # unblocks a batch of clients whose next requests fill
+                # the pull below while the younger dispatches still run.
+                # (An earlier version drained ALL pending on an empty
+                # pull; under closed-loop load every drain cold-started
+                # the pipeline and the knee sat at ~54% of the grouped
+                # drain rate.)
+                if len(pending) >= self._max_inflight:
+                    current = pending.popleft()
+                    raw, preqs, pslots = current
+                    self._respond_raw(preqs, pslots, raw)
+                    responded = len(preqs)
+                    current = None
+                n, ids, reqs, slots = self._pull(batch_cap,
+                                                 expect=responded)
                 if n:
                     batch_ids = [int(ids[i]) for i in range(n)]
                     unknown = set(store.missing(batch_ids))
@@ -113,13 +140,13 @@ class NativeFrontend:
                         raw = svc._decode_rows_grouped(rows)  # issue only
                         pending.append((raw, [reqs[i] for i in keep],
                                         [slots[i] for i in keep]))
-                # fetch completed batches; drain fully when idle
-                while pending and (len(pending) > self._max_inflight
-                                   or (n == 0 and pending)):
+                elif pending:
+                    # nothing arrived inside the wait window: retire one
+                    # dispatch (keeps latency bounded when load stops)
                     current = pending.popleft()
                     raw, preqs, pslots = current
-                    captions = svc._decode_finalize(raw)
-                    self._respond(preqs, pslots, captions)
+                    self._respond_raw(preqs, pslots, raw)
+                    responded = len(preqs)
                     current = None
             except Exception as e:   # noqa: BLE001 — the pump must
                 # outlive ANY batch failure: fail the affected requests
@@ -155,6 +182,23 @@ class NativeFrontend:
         self._lib.lrcn_serve_respond(
             self._h, (_LL * k)(*preqs), (_LL * k)(*pslots),
             (ctypes.c_char_p * k)(*[c.encode() for c in captions]), k)
+
+    def _respond_raw(self, preqs, pslots, raw) -> None:
+        """Finalize + respond WITHOUT per-caption Python: fetch the
+        token array (the async host copy started at issue time) and let
+        C++ detokenize against the registered vocab."""
+        import numpy as np
+
+        from lrcn_tpu.core.vocab import EOS_ID
+
+        n, tokens = raw
+        toks = np.ascontiguousarray(np.asarray(tokens), dtype=np.int32)
+        toks = toks.reshape(-1, toks.shape[-1])   # (G*B | B, T)
+        k = len(preqs)
+        self._lib.lrcn_serve_respond_tokens(
+            self._h, (_LL * k)(*preqs), (_LL * k)(*pslots),
+            toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            toks.shape[1], EOS_ID, k)
 
     # --- ops ---
 

@@ -197,6 +197,7 @@ class CaptionService:
                                     beam_width=self.beam_width,
                                     max_words=self.max_words,
                                     compute_dtype=self.compute_dtype)
+        tokens.copy_to_host_async()     # overlap the RTT (see grouped)
         return n, tokens
 
     def _decode_finalize(self, raw) -> list[str]:
@@ -233,6 +234,11 @@ class CaptionService:
             self.params, self._table, dev_idx,
             beam_width=self.beam_width, max_words=self.max_words,
             compute_dtype=self.compute_dtype)
+        # start the device->host token copy NOW: it queues behind this
+        # dispatch and rides the link while the pump issues/works on
+        # other batches — the blocking np.asarray in _decode_finalize
+        # costs ~33 ms per dispatch otherwise (remote-device RTT)
+        tokens.copy_to_host_async()
         return n, tokens
 
     def _decode_rows_fn(self, rows: list[int]):
@@ -254,6 +260,7 @@ class CaptionService:
             self.params, self._table, dev_idx,
             beam_width=self.beam_width, max_words=self.max_words,
             compute_dtype=self.compute_dtype)
+        tokens.copy_to_host_async()     # overlap the RTT (see grouped)
         return n, tokens
 
     def _encode_fn(self, images: list[np.ndarray]):

@@ -260,16 +260,16 @@ def test_native_finalize_failure_fails_fast(frontend, monkeypatch):
     import time
 
     fe, svc = frontend
-    real = svc._decode_finalize
+    real = fe._respond_raw
     calls = {"n": 0}
 
-    def failing(raw):
+    def failing(preqs, pslots, raw):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("injected finalize failure")
-        return real(raw)
+        return real(preqs, pslots, raw)
 
-    monkeypatch.setattr(svc, "_decode_finalize", failing)
+    monkeypatch.setattr(fe, "_respond_raw", failing)
     t0 = time.monotonic()
     status, out = _request(fe.port, "POST", "/v1/caption", {"id": 100})
     elapsed = time.monotonic() - t0
