@@ -43,7 +43,8 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
                       normalize: bool | None = None,
                       sample_n: int = 0, temperature: float = 2.0,
                       rng=None, scan_depth: int = 4, max_inflight: int = 4,
-                      compute_dtype=jnp.bfloat16) -> list[str]:
+                      compute_dtype=jnp.bfloat16,
+                      resident_store: bool | None = None) -> list[str]:
     """Decode captions for ``image_ids`` in device batches.
 
     Strategies: beam search (default), greedy (``beam_width=1``), or the
@@ -58,6 +59,12 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
     group); ``max_inflight``: dispatches queued ahead of the host fetch.
     Both trade host/device overlap against memory; the defaults are the
     measured sweet spot on a v5e (BENCH_DETAIL.md).
+
+    ``resident_store``: upload the store's full feature table to HBM
+    once and dispatch int32 row indices (the serving fast path,
+    ``rows_search_scan``) instead of host-gathering float rows per
+    batch.  Default (None) decides by upload bytes: the table wins once
+    the run decodes at least as many rows as the table holds.
     """
     import jax
 
@@ -106,11 +113,47 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
                 params, jnp.asarray(feats), k, n_samples=sample_n,
                 temperature=temperature, max_words=max_words,
                 compute_dtype=compute_dtype)
+            # start the device->host copy now: it queues behind the
+            # dispatch and overlaps the next ones (a blocking asarray
+            # at drain time pays the full link RTT per dispatch)
+            tokens.copy_to_host_async()
             pending.append((tokens[None], [n_real]))
             if len(pending) > max_inflight:
                 drain_one()
     else:
         scan_depth = max(1, scan_depth)
+        if resident_store is None:
+            resident_store = 0 < len(store) <= n
+        if resident_store and len(store):
+            # ship the table ONCE, then (G, B) int32 indices per
+            # dispatch — the gather runs inside the jitted search
+            # (rows_search_scan), bit-identical to host-gathered rows
+            from lrcn_tpu.decode.beam import rows_search_scan
+            table = store.table().astype(np.float32)
+            if normalize:
+                table = l1_normalize(table)
+            dev_table = jnp.asarray(table)
+            row_idx = store.rows(image_ids)
+            rows_per_group = batch_size * scan_depth
+            for g in range(0, len(row_idx), rows_per_group):
+                chunk = row_idx[g:g + rows_per_group]
+                n_real = len(chunk)
+                idx = np.full((scan_depth, batch_size), chunk[-1],
+                              np.int32)
+                idx.reshape(-1)[:n_real] = chunk
+                tokens, _ = rows_search_scan(
+                    params, dev_table, jnp.asarray(idx),
+                    beam_width=beam_width, max_words=max_words,
+                    compute_dtype=compute_dtype)
+                tokens.copy_to_host_async()   # overlap the link RTT
+                n_reals = [min(batch_size, max(0, n_real - b * batch_size))
+                           for b in range(scan_depth)]
+                pending.append((tokens, n_reals))
+                if len(pending) > max_inflight:
+                    drain_one()
+            while pending:
+                drain_one()
+            return lines
         search = (greedy_search_scan if beam_width == 1 else
                   lambda p, f, **kw: beam_search_scan(
                       p, f, beam_width=beam_width, **kw))
@@ -126,6 +169,7 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
             stacked = jnp.asarray(np.stack([f for f, _ in group]))
             tokens, _ = search(params, stacked, max_words=max_words,
                                compute_dtype=compute_dtype)
+            tokens.copy_to_host_async()   # overlap the link RTT
             pending.append((tokens, [nr for _, nr in group]))
             if len(pending) > max_inflight:
                 drain_one()

@@ -21,7 +21,6 @@ surface.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -36,43 +35,11 @@ from lrcn_tpu.decode.writer import caption_to_line
 from lrcn_tpu.serve.batcher import DynamicBatcher
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width", "max_words",
-                                             "compute_dtype"))
-def _rows_search(params, table: jax.Array, idx: jax.Array, *,
-                 beam_width: int, max_words: int, compute_dtype):
-    """Gather table rows ON DEVICE, then search — one dispatch, int32 in.
-
-    Bit-identical to searching host-gathered float32 rows (the gather is
-    exact and the search is the same jitted program).
-    """
-    feats = jnp.take(table, idx, axis=0)
-    if beam_width == 1:
-        return greedy_search(params, feats, max_words=max_words,
-                             compute_dtype=compute_dtype)
-    return beam_search(params, feats, beam_width=beam_width,
-                       max_words=max_words, compute_dtype=compute_dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("beam_width", "max_words",
-                                             "compute_dtype"))
-def _rows_search_scan(params, table: jax.Array, idx: jax.Array, *,
-                      beam_width: int, max_words: int, compute_dtype):
-    """(G, B) row indices -> (G, B, T) tokens: G batches in ONE dispatch.
-
-    Burst absorption for serving: when the request backlog exceeds one
-    compiled batch, draining it as a scanned multi-batch dispatch runs
-    at the offline flagship rate (~24k captions/s) instead of paying
-    per-batch dispatch overhead (~16.5k) — the same geometry lever as
-    ``beam_search_scan`` (BENCH_DETAIL.md)."""
-    from lrcn_tpu.decode.beam import beam_search_scan, greedy_search_scan
-
-    feats = jnp.take(table, idx, axis=0)        # (G, B, D)
-    if beam_width == 1:
-        return greedy_search_scan(params, feats, max_words=max_words,
-                                  compute_dtype=compute_dtype)
-    return beam_search_scan(params, feats, beam_width=beam_width,
-                            max_words=max_words,
-                            compute_dtype=compute_dtype)
+# Shared with bulk generation (decode/writer.py): serving burst
+# absorption and `lrcn generate` both dispatch int32 row indices
+# against the HBM-resident table.
+from lrcn_tpu.decode.beam import (rows_search as _rows_search,
+                                  rows_search_scan as _rows_search_scan)
 
 
 class CaptionService:

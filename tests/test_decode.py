@@ -227,6 +227,12 @@ def test_generate_captions_scanned_paths_match_per_batch(setup):
             params, vocab, store, ids, beam_width=bw, max_words=8,
             batch_size=2, compute_dtype=jnp.float32)
         assert len(lines) == n
+        # the HBM-resident-table fast path (int32 indices through
+        # rows_search_scan) must be bit-identical to host gathering
+        resident = generate_captions(
+            params, vocab, store, ids, beam_width=bw, max_words=8,
+            batch_size=2, compute_dtype=jnp.float32, resident_store=True)
+        assert resident == lines, (bw, resident[:3], lines[:3])
         direct = []
         for start in range(0, n, 2):
             batch = ids[start:start + 2]
