@@ -300,3 +300,81 @@ def test_native_burst_grouped_decode_matches(frontend):
         singles.extend(svc._decode_finalize(
             svc._decode_rows_fn(rows[i:i + b])))
     assert grouped == singles
+
+
+def test_serve_next_fill_window_semantics():
+    """Direct unit test of ``lrcn_serve_next``'s fill window (the pump's
+    arrival forecast): a pull ends EARLY once ``min_n`` items are queued,
+    a partial batch drains only when ``fill_ms`` closes, and
+    ``fill_ms=0`` drains on first arrival (the pre-window behavior).
+
+    Drives a raw server (no pump) so the pull timing is observable."""
+    import ctypes
+    import time
+
+    lib = httpserve_library()
+    h = lib.lrcn_serve_start(b"127.0.0.1", 0, 16, 256, 30000)
+    assert h
+    port = lib.lrcn_serve_port(h)
+    LL = ctypes.c_longlong
+
+    def clients(n, start_id):
+        threads = [threading.Thread(
+            target=_request, args=(port, "POST", "/v1/caption",
+                                   {"id": start_id + i}), daemon=True)
+            for i in range(n)]
+        for t in threads:
+            t.start()
+        return threads
+
+    def pull(max_n, wait_ms, fill_ms, min_n):
+        ids = (LL * max_n)()
+        reqs = (LL * max_n)()
+        slots = (LL * max_n)()
+        t0 = time.perf_counter()
+        n = lib.lrcn_serve_next(h, ids, reqs, slots, max_n, wait_ms,
+                                fill_ms, min_n)
+        return n, time.perf_counter() - t0, reqs, slots
+
+    def respond(n, reqs, slots):
+        lib.lrcn_serve_respond(
+            h, (LL * n)(*reqs[:n]), (LL * n)(*slots[:n]),
+            (ctypes.c_char_p * n)(*([b"ok ."] * n)), n)
+
+    try:
+        # forecast satisfied -> early exit, far before the 2 s window
+        ts = clients(5, 0)
+        time.sleep(0.6)              # let all 5 queue
+        n, dt, reqs, slots = pull(64, 1000, 2000, 5)
+        assert n == 5 and dt < 1.0, (n, dt)
+        respond(n, reqs, slots)
+
+        # forecast NOT met -> the partial batch drains at the deadline
+        ts += clients(2, 10)
+        time.sleep(0.6)
+        n, dt, reqs, slots = pull(64, 1000, 600, 5)
+        assert n == 2, n
+        assert 0.5 <= dt < 2.0, dt   # waited the window out
+        respond(n, reqs, slots)
+
+        # late arrivals END the window early (the closed-loop refill)
+        ts += clients(1, 20)
+        time.sleep(0.4)
+        late = threading.Timer(0.2, lambda: clients(4, 30))
+        late.start()
+        n, dt, reqs, slots = pull(64, 1000, 3000, 5)
+        late.join()
+        assert n == 5 and dt < 1.5, (n, dt)   # not the 3 s deadline
+        respond(n, reqs, slots)
+
+        # fill_ms=0: first arrival drains immediately even under-forecast
+        ts += clients(3, 40)
+        time.sleep(0.6)
+        n, dt, reqs, slots = pull(64, 1000, 0, 8)
+        assert n == 3 and dt < 0.3, (n, dt)
+        respond(n, reqs, slots)
+
+        for t in ts:
+            t.join(timeout=10)
+    finally:
+        lib.lrcn_serve_stop(h)
