@@ -60,14 +60,44 @@ def build_service(tiny=False, burst_groups=None):
     return svc
 
 
-def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1):
+def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
+                rate_rps=0.0):
     out = subprocess.run(
         [exe, "127.0.0.1", str(port), str(conns), str(duration),
-         str(max_id), str(ids_per_req)],
+         str(max_id), str(ids_per_req), str(rate_rps)],
         capture_output=True, text=True, timeout=duration + 120)
     if out.returncode != 0:
         raise RuntimeError(f"loadgen failed: {out.stderr[-500:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req):
+    """OPEN-LOOP latency-vs-load: fixed offered rates, latency measured
+    from each request's scheduled time (wrk2-style — queueing delay on
+    an overloaded server grows the tail instead of silently shedding
+    offered load)."""
+    ncores = os.cpu_count() or 1
+    print(f"\n=== {name} frontend: OPEN-LOOP, {conns} conns, "
+          f"{duration}s per point, ids_per_req={ids_per_req} ===")
+    print(f"{'offered/s':>10} {'achieved/s':>11} {'p50 ms':>8} "
+          f"{'p90 ms':>8} {'p99 ms':>8} {'errors':>7} {'cli CPU':>8}")
+    results = []
+    run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req)   # warm
+    for rate in rate_list:
+        r = run_loadgen(exe, port, conns, duration,
+                        ids_per_req=ids_per_req,
+                        rate_rps=rate / ids_per_req)
+        util = (r["cpu_user_s"] + r["cpu_sys_s"]) / (r["wall_s"] * ncores)
+        flag = "  <-- client-bound!" if util >= 0.8 else ""
+        achieved = r["captions_per_s"]
+        if achieved < 0.95 * rate:
+            flag += "  <-- saturated (achieved < 95% of offered)"
+        print(f"{rate:>10,} {achieved:>11,.0f} {r['p50_ms']:>8.1f} "
+              f"{r['p90_ms']:>8.1f} {r['p99_ms']:>8.1f} "
+              f"{r['errors']:>7} {util:>7.0%}{flag}")
+        r.update(conns=conns, client_util=util, offered_captions_s=rate)
+        results.append(r)
+    return results
 
 
 def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn):
@@ -117,12 +147,21 @@ def main():
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--sweep", default="32,64,128,256,512")
     ap.add_argument("--ids-per-req", type=int, default=1)
+    ap.add_argument("--rate-sweep", default=None,
+                    help="comma-separated OFFERED captions/s: open-loop "
+                         "latency-vs-load instead of the closed-loop "
+                         "capacity sweep")
+    ap.add_argument("--conns", type=int, default=2048,
+                    help="connection pool for --rate-sweep (must exceed "
+                         "rate x latency so the pool never binds)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model smoke test (CPU CI), not a benchmark")
     ap.add_argument("--burst-groups", type=int, default=None,
                     help="CaptionService max_burst_groups override")
     args = ap.parse_args()
     conns_list = [int(c) for c in args.sweep.split(",")]
+    rate_list = ([int(r) for r in args.rate_sweep.split(",")]
+                 if args.rate_sweep else None)
 
     from lrcn_tpu.native import loadgen_binary
 
@@ -139,18 +178,24 @@ def main():
         server = make_server(svc, host="127.0.0.1", port=0)
         port = server.server_address[1]
         threading.Thread(target=server.serve_forever, daemon=True).start()
-        all_results["python"] = sweep(
-            exe, port, "python", conns_list, args.duration,
-            args.ids_per_req,
-            lambda: svc.stats().get("decode_ids", {}))
+        if rate_list:
+            all_results["python"] = rate_sweep(
+                exe, port, "python", rate_list, args.conns,
+                args.duration, args.ids_per_req)
+        else:
+            all_results["python"] = sweep(
+                exe, port, "python", conns_list, args.duration,
+                args.ids_per_req,
+                lambda: svc.stats().get("decode_ids", {}))
         server.shutdown()
         server.server_close()
 
     if args.which in ("native", "both"):
         from lrcn_tpu.serve.native_http import NativeFrontend
 
+        n_conns = args.conns if rate_list else max(conns_list)
         fe = NativeFrontend(svc, host="127.0.0.1", port=0,
-                            n_threads=max(conns_list) + 64, wait_ms=10)
+                            n_threads=n_conns + 64, wait_ms=10)
 
         def native_stats():
             import http.client
@@ -163,9 +208,14 @@ def main():
             finally:
                 conn.close()
 
-        all_results["native"] = sweep(
-            exe, fe.port, "native", conns_list, args.duration,
-            args.ids_per_req, native_stats)
+        if rate_list:
+            all_results["native"] = rate_sweep(
+                exe, fe.port, "native", rate_list, args.conns,
+                args.duration, args.ids_per_req)
+        else:
+            all_results["native"] = sweep(
+                exe, fe.port, "native", conns_list, args.duration,
+                args.ids_per_req, native_stats)
         fe.stop()
 
     svc.close()

@@ -225,6 +225,14 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="decode_max_inflight",
                    help="decode dispatches queued ahead of the host "
                         "fetch (bounds device+host memory)")
+    p.add_argument("--resident-store", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="upload the full feature table to device HBM "
+                        "once and decode by int32 row index (the serving "
+                        "fast path). auto: only when the run decodes at "
+                        "least as many rows as the table holds. off "
+                        "keeps device memory O(batch) — use it when the "
+                        "table would not fit next to the model")
     p.add_argument("--out", default=None,
                    help="candidates file (default: candidates.txt, or "
                         "candidates_flickr for the Flickr split — "
@@ -777,7 +785,9 @@ def cmd_generate(args) -> int:
         rng=jax.random.PRNGKey(max(args.seed, 0)),
         scan_depth=scan_depth,
         max_inflight=args.decode_max_inflight,
-        compute_dtype=jnp.dtype(args.compute_dtype))
+        compute_dtype=jnp.dtype(args.compute_dtype),
+        resident_store={"auto": None, "on": True,
+                        "off": False}[args.resident_store])
     write_candidate_files(lines, ids, args.out, args.ids_out)
     print(f"wrote {len(lines)} captions to {args.out}")
     return 0

@@ -115,9 +115,12 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
                 compute_dtype=compute_dtype)
             # start the device->host copy now: it queues behind the
             # dispatch and overlaps the next ones (a blocking asarray
-            # at drain time pays the full link RTT per dispatch)
+            # at drain time pays the full link RTT per dispatch).
+            # Reshape FIRST — the async copy must target the exact
+            # array drain_one will fetch, not a pre-reshape alias
+            tokens = tokens[None]
             tokens.copy_to_host_async()
-            pending.append((tokens[None], [n_real]))
+            pending.append((tokens, [n_real]))
             if len(pending) > max_inflight:
                 drain_one()
     else:
@@ -129,7 +132,7 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
             # dispatch — the gather runs inside the jitted search
             # (rows_search_scan), bit-identical to host-gathered rows
             from lrcn_tpu.decode.beam import rows_search_scan
-            table = store.table().astype(np.float32)
+            table = np.asarray(store.table(), np.float32)  # no-copy: f32
             if normalize:
                 table = l1_normalize(table)
             dev_table = jnp.asarray(table)

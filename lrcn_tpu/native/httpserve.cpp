@@ -330,11 +330,17 @@ void handle_connection(Server* sv, int fd) {
         }
         if (reqline.rfind("GET /stats", 0) == 0) {
             long long b = sv->batches.load(), it = sv->items.load();
+            size_t qd;
+            {
+                std::lock_guard<std::mutex> qlk(sv->qmu);
+                qd = sv->queue.size();
+            }
             std::string s = "{\"frontend\": \"native\", \"requests\": " +
                 std::to_string(sv->requests.load()) + ", \"items\": " +
                 std::to_string(it) + ", \"batches\": " +
                 std::to_string(b) + ", \"mean_batch_size\": " +
                 std::to_string(b ? double(it) / b : 0.0) +
+                ", \"queue\": " + std::to_string(qd) +
                 ", \"shed\": " + std::to_string(sv->shed.load()) +
                 ", \"errors\": " + std::to_string(sv->errors.load()) + "}";
             respond(fd, 200, s, keep_alive);
@@ -515,7 +521,9 @@ int lrcn_serve_port(void* h) { return ((Server*)h)->port; }
 // `min_n` is the caller's arrival forecast (the pump passes the size
 // of the batch it just responded to — closed-loop clients re-request
 // immediately), so a full refill never waits out the deadline and a
-// partial one is bounded by fill_ms.
+// partial one is bounded by fill_ms.  min_n <= 0 (no forecast — e.g.
+// pump startup, or nothing was responded since the last pull) skips
+// the window entirely and drains whatever is queued.
 int lrcn_serve_next(void* h, long long* ids, long long* reqs,
                     long long* slots, int max_n, int wait_ms,
                     int fill_ms, int min_n) {
@@ -526,13 +534,17 @@ int lrcn_serve_next(void* h, long long* ids, long long* reqs,
         sv->qcv.wait_for(lk, std::chrono::milliseconds(wait_ms), [&] {
             return !sv->queue.empty() || sv->stopping.load(); });
     }
-    if (!sv->queue.empty() && fill_ms > 0 &&
-        sv->queue.size() < (size_t)(min_n > 0 ? min_n : max_n)) {
+    if (!sv->queue.empty() && fill_ms > 0 && min_n > 0) {
         // wait until the expected batch arrives or the window closes; a
-        // partial batch at the deadline drains as-is
-        size_t want = (size_t)(min_n > 0 ? min_n : max_n);
-        sv->qcv.wait_for(lk, std::chrono::milliseconds(fill_ms), [&] {
-            return sv->queue.size() >= want || sv->stopping.load(); });
+        // partial batch at the deadline drains as-is.  min_n <= 0 means
+        // the caller has NO forecast — drain immediately rather than
+        // burn the window hoping for max_n (which may even exceed
+        // max_queue and so never arrive).
+        size_t want = (size_t)min_n;
+        if (want > sv->max_queue) want = sv->max_queue;
+        if (sv->queue.size() < want)
+            sv->qcv.wait_for(lk, std::chrono::milliseconds(fill_ms), [&] {
+                return sv->queue.size() >= want || sv->stopping.load(); });
     }
     int n = 0;
     while (n < max_n && !sv->queue.empty()) {
@@ -589,10 +601,14 @@ void lrcn_serve_respond_tokens(void* h, const long long* reqs,
                                const int* tokens, int t_cap,
                                int eos_id, int n) {
     auto* sv = (Server*)h;
-    std::lock_guard<std::mutex> live(sv->live_mu);
+    // detokenize BEFORE taking live_mu: every connection thread
+    // acquires that lock twice per request, and a grouped respond
+    // builds up to G*B caption strings — doing it under the lock
+    // serializes request setup/teardown behind string work
+    std::vector<std::string> caps((size_t)n);
     for (int i = 0; i < n; i++) {
         const int* row = tokens + (size_t)i * t_cap;
-        std::string cap;
+        std::string& cap = caps[(size_t)i];
         for (int t = 1; t < t_cap; t++) {
             if (row[t] == eos_id) break;
             if (row[t] < 0 || (size_t)row[t] >= sv->vocab.size())
@@ -601,8 +617,10 @@ void lrcn_serve_respond_tokens(void* h, const long long* reqs,
             cap += ' ';
         }
         cap += '.';
-        fill_slot(sv, reqs[i], slots[i], std::move(cap));
     }
+    std::lock_guard<std::mutex> live(sv->live_mu);
+    for (int i = 0; i < n; i++)
+        fill_slot(sv, reqs[i], slots[i], std::move(caps[(size_t)i]));
 }
 
 // Fail one request (e.g. unknown id) with an HTTP status.

@@ -11,11 +11,20 @@
 // sweep concurrency and find the knee.
 //
 //   lrcn_loadgen HOST PORT N_CONNS DURATION_S MAX_ID [IDS_PER_REQ]
+//                [RATE_RPS]
+//
+// RATE_RPS > 0 switches to OPEN-LOOP mode (wrk2-style): requests fire
+// on a fixed global schedule of RATE_RPS requests/s spread over the
+// connections, and latency is measured from each request's SCHEDULED
+// time — so server queueing delay counts even when a slow response
+// holds the connection (no coordinated omission).  Closed-loop mode
+// (RATE_RPS absent/0) measures capacity; open-loop measures the
+// latency a non-saturating production load actually sees.
 //
 // Output: {"requests": R, "captions": C, "errors": E, "reconnects": K,
 //          "wall_s": W, "throughput_rps": ..., "captions_per_s": ...,
 //          "p50_ms": ..., "p90_ms": ..., "p99_ms": ...,
-//          "cpu_user_s": ..., "cpu_sys_s": ...}
+//          "cpu_user_s": ..., "cpu_sys_s": ..., "offered_rps": ...}
 //
 // cpu_user_s/cpu_sys_s let the driver verify the CLIENT was not the
 // bottleneck: utilization = (user+sys) / (wall * ncores) must stay
@@ -112,14 +121,39 @@ int read_response(int fd, std::string& buf, bool* server_closes) {
     return status;
 }
 
+// interval_us == 0: closed-loop (fire as fast as responses return).
+// interval_us > 0: open-loop — request k is DUE at
+// start + offset_us + k*interval_us; we never skip a scheduled
+// request, and latency counts from the due time, so a backlog on an
+// overloaded server shows up as growing latency (the honest signal),
+// not a silently reduced rate.
 void worker(const char* host, int port, int tid, long max_id,
-            int ids_per_req, WorkerStats* out) {
+            int ids_per_req, long interval_us, long offset_us,
+            WorkerStats* out) {
     WorkerStats st;
     st.lat_us.reserve(1 << 16);
     int fd = dial(host, port);
     std::string buf;
     uint64_t x = 0x9E3779B97F4A7C15ull * (uint64_t)(tid + 1);
+    const auto t_start = std::chrono::steady_clock::now();
+    long k = 0;
     while (!stop.load(std::memory_order_relaxed)) {
+        auto due = t_start + std::chrono::microseconds(
+                                 offset_us + k * interval_us);
+        if (interval_us > 0) {
+            // sleep in <=50 ms slices so `stop` stays responsive
+            for (;;) {
+                auto now = std::chrono::steady_clock::now();
+                if (now >= due || stop.load(std::memory_order_relaxed))
+                    break;
+                auto left = std::chrono::duration_cast<
+                    std::chrono::microseconds>(due - now);
+                std::this_thread::sleep_for(std::min(
+                    left, std::chrono::microseconds(50000)));
+            }
+            if (stop.load(std::memory_order_relaxed)) break;
+            k++;
+        }
         // splitmix64 id stream, unique per thread
         std::string body;
         if (ids_per_req <= 1) {
@@ -143,7 +177,8 @@ void worker(const char* host, int port, int tid, long max_id,
             "POST /v1/caption HTTP/1.1\r\nHost: lg\r\n"
             "Content-Type: application/json\r\nContent-Length: " +
             std::to_string(body.size()) + "\r\n\r\n" + body;
-        auto t0 = std::chrono::steady_clock::now();
+        // open-loop: latency from the SCHEDULED time (queueing counts)
+        auto t0 = interval_us > 0 ? due : std::chrono::steady_clock::now();
         bool ok = false, server_closes = false;
         int status = -1;
         if (fd >= 0 &&
@@ -192,7 +227,7 @@ int main(int argc, char** argv) {
     if (argc < 6) {
         std::fprintf(stderr,
             "usage: %s HOST PORT N_CONNS DURATION_S MAX_ID "
-            "[IDS_PER_REQ]\n", argv[0]);
+            "[IDS_PER_REQ] [RATE_RPS]\n", argv[0]);
         return 2;
     }
     const char* host = argv[1];
@@ -201,6 +236,13 @@ int main(int argc, char** argv) {
     double duration_s = std::atof(argv[4]);
     long max_id = std::atol(argv[5]);
     int ids_per_req = argc > 6 ? std::atoi(argv[6]) : 1;
+    double rate_rps = argc > 7 ? std::atof(argv[7]) : 0.0;
+
+    // open-loop: each connection fires every n_conns/rate seconds,
+    // staggered so GLOBAL arrivals are uniform at rate_rps
+    long interval_us = 0;
+    if (rate_rps > 0)
+        interval_us = (long)(1e6 * (double)n_conns / rate_rps);
 
     std::vector<WorkerStats> stats(n_conns);
     std::vector<std::thread> threads;
@@ -208,6 +250,11 @@ int main(int argc, char** argv) {
     auto t0 = std::chrono::steady_clock::now();
     for (int i = 0; i < n_conns; i++)
         threads.emplace_back(worker, host, port, i, max_id, ids_per_req,
+                             interval_us,
+                             interval_us > 0
+                                 ? (long)((double)interval_us * i /
+                                          n_conns)
+                                 : 0,
                              &stats[i]);
     std::this_thread::sleep_for(
         std::chrono::milliseconds((long)(duration_s * 1000)));
@@ -234,10 +281,12 @@ int main(int argc, char** argv) {
         "\"reconnects\": %ld, \"wall_s\": %.3f, "
         "\"throughput_rps\": %.1f, \"captions_per_s\": %.1f, "
         "\"p50_ms\": %.2f, \"p90_ms\": %.2f, \"p99_ms\": %.2f, "
-        "\"cpu_user_s\": %.3f, \"cpu_sys_s\": %.3f}\n",
+        "\"cpu_user_s\": %.3f, \"cpu_sys_s\": %.3f, "
+        "\"offered_rps\": %.1f}\n",
         requests, requests * (long)ids_per_req, errors, reconnects, wall,
         (double)requests / wall,
         (double)(requests * (long)ids_per_req) / wall,
-        pct(lat, 0.50), pct(lat, 0.90), pct(lat, 0.99), cpu_u, cpu_s);
+        pct(lat, 0.50), pct(lat, 0.90), pct(lat, 0.99), cpu_u, cpu_s,
+        rate_rps);
     return 0;
 }

@@ -123,6 +123,11 @@ class NativeFrontend:
                     current = None
                 n, ids, reqs, slots = self._pull(batch_cap,
                                                  expect=responded)
+                # the forecast predicts only the refill right after a
+                # respond — consume it so a stale large value can't
+                # force full fill-window waits once load drops (the
+                # next respond sets a fresh one)
+                responded = 0
                 if n:
                     batch_ids = [int(ids[i]) for i in range(n)]
                     unknown = set(store.missing(batch_ids))

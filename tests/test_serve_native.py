@@ -341,17 +341,28 @@ def test_serve_next_fill_window_semantics():
             h, (LL * n)(*reqs[:n]), (LL * n)(*slots[:n]),
             (ctypes.c_char_p * n)(*([b"ok ."] * n)), n)
 
+    def wait_queued(k, timeout=15.0):
+        """Poll /stats until k items are queued (no fixed sleeps)."""
+        import time as _t
+        deadline = _t.time() + timeout
+        while _t.time() < deadline:
+            _, st = _request(port, "GET", "/stats")
+            if st["queue"] >= k:
+                return
+            _t.sleep(0.02)
+        raise AssertionError(f"queue never reached {k}")
+
     try:
         # forecast satisfied -> early exit, far before the 2 s window
         ts = clients(5, 0)
-        time.sleep(0.6)              # let all 5 queue
+        wait_queued(5)
         n, dt, reqs, slots = pull(64, 1000, 2000, 5)
         assert n == 5 and dt < 1.0, (n, dt)
         respond(n, reqs, slots)
 
         # forecast NOT met -> the partial batch drains at the deadline
         ts += clients(2, 10)
-        time.sleep(0.6)
+        wait_queued(2)
         n, dt, reqs, slots = pull(64, 1000, 600, 5)
         assert n == 2, n
         assert 0.5 <= dt < 2.0, dt   # waited the window out
@@ -359,19 +370,27 @@ def test_serve_next_fill_window_semantics():
 
         # late arrivals END the window early (the closed-loop refill)
         ts += clients(1, 20)
-        time.sleep(0.4)
-        late = threading.Timer(0.2, lambda: clients(4, 30))
+        wait_queued(1)
+        late = threading.Timer(0.2, lambda: ts.extend(clients(4, 30)))
         late.start()
         n, dt, reqs, slots = pull(64, 1000, 3000, 5)
         late.join()
-        assert n == 5 and dt < 1.5, (n, dt)   # not the 3 s deadline
+        assert n == 5 and dt < 2.0, (n, dt)   # not the 3 s deadline
         respond(n, reqs, slots)
 
         # fill_ms=0: first arrival drains immediately even under-forecast
         ts += clients(3, 40)
-        time.sleep(0.6)
+        wait_queued(3)
         n, dt, reqs, slots = pull(64, 1000, 0, 8)
-        assert n == 3 and dt < 0.3, (n, dt)
+        assert n == 3 and dt < 1.0, (n, dt)
+        respond(n, reqs, slots)
+
+        # min_n=0 (no forecast) skips the window instead of hoping
+        # for max_n — pre-fix this burned the whole 2 s window
+        ts += clients(2, 50)
+        wait_queued(2)
+        n, dt, reqs, slots = pull(64, 1000, 2000, 0)
+        assert n == 2 and dt < 1.0, (n, dt)
         respond(n, reqs, slots)
 
         for t in ts:
