@@ -62,13 +62,27 @@ def build_service(tiny=False, burst_groups=None):
 
 def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
                 rate_rps=0.0):
+    """Run one loadgen point; also meter THIS process's CPU (the server
+    lives in-process: Python pump + C++ connection threads), so each
+    point reports how much of the knee is host CPU rather than device.
+    """
+    import resource
+
+    ru0 = resource.getrusage(resource.RUSAGE_SELF)
+    t0 = time.monotonic()
     out = subprocess.run(
         [exe, "127.0.0.1", str(port), str(conns), str(duration),
          str(max_id), str(ids_per_req), str(rate_rps)],
         capture_output=True, text=True, timeout=duration + 120)
+    wall = time.monotonic() - t0
+    ru1 = resource.getrusage(resource.RUSAGE_SELF)
     if out.returncode != 0:
         raise RuntimeError(f"loadgen failed: {out.stderr[-500:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    server_cpu = ((ru1.ru_utime - ru0.ru_utime) +
+                  (ru1.ru_stime - ru0.ru_stime))
+    r["server_cpu_util"] = server_cpu / (wall * (os.cpu_count() or 1))
+    return r
 
 
 def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req):
@@ -80,7 +94,8 @@ def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req):
     print(f"\n=== {name} frontend: OPEN-LOOP, {conns} conns, "
           f"{duration}s per point, ids_per_req={ids_per_req} ===")
     print(f"{'offered/s':>10} {'achieved/s':>11} {'p50 ms':>8} "
-          f"{'p90 ms':>8} {'p99 ms':>8} {'errors':>7} {'cli CPU':>8}")
+          f"{'p90 ms':>8} {'p99 ms':>8} {'errors':>7} {'cli CPU':>8} "
+          f"{'srv CPU':>8}")
     results = []
     run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req)   # warm
     for rate in rate_list:
@@ -89,12 +104,22 @@ def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req):
                         rate_rps=rate / ids_per_req)
         util = (r["cpu_user_s"] + r["cpu_sys_s"]) / (r["wall_s"] * ncores)
         flag = "  <-- client-bound!" if util >= 0.8 else ""
-        achieved = r["captions_per_s"]
-        if achieved < 0.95 * rate:
-            flag += "  <-- saturated (achieved < 95% of offered)"
+        if util + r["server_cpu_util"] >= 0.9:
+            flag += "  <-- host-bound (client+server share the cores)"
+        # every scheduled slot fires (late if need be), so overload
+        # shows as schedule-relative latency + a drain tail past the
+        # schedule window, never as silently shed offered load
+        achieved = (r["captions"] / r["sched_s"] if r.get("sched_s")
+                    else r["captions_per_s"])
+        if r.get("completion", 1.0) < 0.99:
+            flag += (f"  <-- {1 - r['completion']:.1%} of scheduled "
+                     f"requests errored/abandoned")
+        if r["wall_s"] > r.get("sched_s", r["wall_s"]) * 1.5:
+            flag += "  <-- overloaded (drain ran far past the schedule)"
         print(f"{rate:>10,} {achieved:>11,.0f} {r['p50_ms']:>8.1f} "
               f"{r['p90_ms']:>8.1f} {r['p99_ms']:>8.1f} "
-              f"{r['errors']:>7} {util:>7.0%}{flag}")
+              f"{r['errors']:>7} {util:>7.0%} "
+              f"{r['server_cpu_util']:>7.0%}{flag}")
         r.update(conns=conns, client_util=util, offered_captions_s=rate)
         results.append(r)
     return results
@@ -105,7 +130,7 @@ def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn):
     print(f"\n=== {name} frontend: closed-loop C++ clients, "
           f"{duration}s per point, ids_per_req={ids_per_req} ===")
     print(f"{'conns':>6} {'captions/s':>12} {'p50 ms':>8} {'p90 ms':>8} "
-          f"{'p99 ms':>8} {'errors':>7} {'cli CPU':>8}")
+          f"{'p99 ms':>8} {'errors':>7} {'cli CPU':>8} {'srv CPU':>8}")
     best = None
     results = []
     run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req)   # warm
@@ -121,9 +146,12 @@ def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn):
                   - before.get("items", before.get("requests", 0)))
         server_rate = served / r["wall_s"] if served else None
         flag = "  <-- client-bound!" if util >= 0.8 else ""
+        if util + r["server_cpu_util"] >= 0.9:
+            flag += "  <-- host-bound (client+server share the cores)"
         print(f"{conns:>6} {r['captions_per_s']:>12,.0f} "
               f"{r['p50_ms']:>8.1f} {r['p90_ms']:>8.1f} "
-              f"{r['p99_ms']:>8.1f} {r['errors']:>7} {util:>7.0%}{flag}")
+              f"{r['p99_ms']:>8.1f} {r['errors']:>7} {util:>7.0%} "
+              f"{r['server_cpu_util']:>7.0%}{flag}")
         r.update(conns=conns, client_util=util,
                  server_side_rate=server_rate)
         results.append(r)

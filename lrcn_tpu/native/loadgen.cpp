@@ -127,9 +127,13 @@ int read_response(int fd, std::string& buf, bool* server_closes) {
 // request, and latency counts from the due time, so a backlog on an
 // overloaded server shows up as growing latency (the honest signal),
 // not a silently reduced rate.
+// open-loop: fire EVERY slot scheduled inside [0, sched_end_us) — even
+// late, once the connection frees — so an overloaded server shows up
+// as exploding schedule-relative latency, never as silently dropped
+// offered load (the wrk2 contract).  sched_end_us == 0: closed loop.
 void worker(const char* host, int port, int tid, long max_id,
             int ids_per_req, long interval_us, long offset_us,
-            WorkerStats* out) {
+            long sched_end_us, WorkerStats* out) {
     WorkerStats st;
     st.lat_us.reserve(1 << 16);
     int fd = dial(host, port);
@@ -138,6 +142,8 @@ void worker(const char* host, int port, int tid, long max_id,
     const auto t_start = std::chrono::steady_clock::now();
     long k = 0;
     while (!stop.load(std::memory_order_relaxed)) {
+        if (interval_us > 0 && offset_us + k * interval_us >= sched_end_us)
+            break;                       // schedule exhausted
         auto due = t_start + std::chrono::microseconds(
                                  offset_us + k * interval_us);
         if (interval_us > 0) {
@@ -248,6 +254,7 @@ int main(int argc, char** argv) {
     std::vector<std::thread> threads;
     threads.reserve(n_conns);
     auto t0 = std::chrono::steady_clock::now();
+    long sched_end_us = (long)(duration_s * 1e6);
     for (int i = 0; i < n_conns; i++)
         threads.emplace_back(worker, host, port, i, max_id, ids_per_req,
                              interval_us,
@@ -255,10 +262,21 @@ int main(int argc, char** argv) {
                                  ? (long)((double)interval_us * i /
                                           n_conns)
                                  : 0,
-                             &stats[i]);
-    std::this_thread::sleep_for(
-        std::chrono::milliseconds((long)(duration_s * 1000)));
-    stop.store(true);
+                             sched_end_us, &stats[i]);
+    if (interval_us > 0) {
+        // open-loop: workers exit once their schedule is exhausted AND
+        // the backlog drained; the watchdog only fences a dead server
+        std::thread grace([duration_s] {
+            std::this_thread::sleep_for(std::chrono::milliseconds(
+                (long)(duration_s * 1000) + 120000));
+            stop.store(true);
+        });
+        grace.detach();
+    } else {
+        std::this_thread::sleep_for(
+            std::chrono::milliseconds((long)(duration_s * 1000)));
+        stop.store(true);
+    }
     for (auto& t : threads) t.join();
     double wall = std::chrono::duration<double>(
                       std::chrono::steady_clock::now() - t0).count();
@@ -272,6 +290,14 @@ int main(int argc, char** argv) {
     }
     std::sort(lat.begin(), lat.end());
     long requests = (long)lat.size();
+    long scheduled = 0;        // exact open-loop slot count
+    if (interval_us > 0)
+        for (int i = 0; i < n_conns; i++) {
+            long off = (long)((double)interval_us * i / n_conns);
+            if (off < sched_end_us)
+                scheduled += (sched_end_us - off + interval_us - 1) /
+                             interval_us;
+        }
     struct rusage ru{};
     ::getrusage(RUSAGE_SELF, &ru);
     double cpu_u = (double)ru.ru_utime.tv_sec + ru.ru_utime.tv_usec / 1e6;
@@ -282,11 +308,14 @@ int main(int argc, char** argv) {
         "\"throughput_rps\": %.1f, \"captions_per_s\": %.1f, "
         "\"p50_ms\": %.2f, \"p90_ms\": %.2f, \"p99_ms\": %.2f, "
         "\"cpu_user_s\": %.3f, \"cpu_sys_s\": %.3f, "
-        "\"offered_rps\": %.1f}\n",
+        "\"offered_rps\": %.1f, \"scheduled\": %ld, "
+        "\"completion\": %.4f, \"sched_s\": %.3f}\n",
         requests, requests * (long)ids_per_req, errors, reconnects, wall,
         (double)requests / wall,
         (double)(requests * (long)ids_per_req) / wall,
         pct(lat, 0.50), pct(lat, 0.90), pct(lat, 0.99), cpu_u, cpu_s,
-        rate_rps);
+        rate_rps, scheduled,
+        scheduled ? (double)requests / (double)scheduled : 0.0,
+        duration_s);
     return 0;
 }

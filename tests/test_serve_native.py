@@ -397,3 +397,48 @@ def test_serve_next_fill_window_semantics():
             t.join(timeout=10)
     finally:
         lib.lrcn_serve_stop(h)
+
+
+def test_capacity_driver_smoke_closed_and_open_loop():
+    """The committed serving numbers come from bench_serve_capacity.py +
+    native/loadgen.cpp; smoke both loops here (tiny model, 1 s points)
+    so the measurement tooling can't rot under the benchmarks."""
+    import importlib.util
+    import os
+
+    from lrcn_tpu.native import loadgen_binary
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    exe = loadgen_binary()
+    if exe is None:
+        pytest.skip("loadgen unavailable")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_serve_capacity",
+        os.path.join(root, "benchmarks", "bench_serve_capacity.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # the driver's own service: its store ids match loadgen's id stream
+    svc = mod.build_service(tiny=True)
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=32,
+                        wait_ms=2)
+    try:
+        def stats_fn():
+            _, st = _request(fe.port, "GET", "/stats")
+            return st
+
+        closed = mod.sweep(exe, fe.port, "native", [8], 1.0, 1, stats_fn)
+        assert closed[0]["errors"] == 0
+        assert closed[0]["captions_per_s"] > 0
+        assert closed[0]["server_side_rate"] > 0
+
+        open_ = mod.rate_sweep(exe, fe.port, "native", [50], 16, 1.0, 1)
+        r = open_[0]
+        assert r["errors"] == 0
+        # every scheduled slot fired and completed (the wrk2 contract)
+        assert r["scheduled"] > 0 and r["completion"] >= 0.99
+        assert r["p99_ms"] > 0
+    finally:
+        fe.stop()
+        svc.close()
