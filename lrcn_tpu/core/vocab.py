@@ -92,6 +92,22 @@ class Vocab:
         """All words in id order, including the reserved tokens."""
         return list(self._id_to_word)
 
+    def words_array(self):
+        """All words as a cached numpy object array (id order).
+
+        Backs vectorized detokenization (decode/writer.py
+        ``detokenize_batch``): a fancy-index gather over this array
+        replaces the per-token Python ``word()`` loop.  Safe to cache —
+        the vocab is immutable after construction.
+        """
+        arr = getattr(self, "_words_arr", None)
+        if arr is None:
+            import numpy as np
+
+            arr = np.array(self._id_to_word, dtype=object)
+            self._words_arr = arr
+        return arr
+
     # --- serialization (checkpoints carry the vocab; lrcn.jl:185,230) ---
 
     def to_json(self) -> str:

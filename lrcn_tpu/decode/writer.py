@@ -37,6 +37,26 @@ def caption_to_line(token_row: np.ndarray, vocab: Vocab) -> str:
     return " ".join(words + ["."])
 
 
+def detokenize_batch(tokens: np.ndarray, vocab: Vocab) -> list[str]:
+    """Vectorized ``caption_to_line`` over (N, T) token rows.
+
+    Output-identical to ``[caption_to_line(r, vocab) for r in tokens]``
+    (asserted by tests/test_decode.py).  The per-token Python loop
+    costs ~30-40 µs/caption — at the 24k captions/s device decode rate
+    that is a whole host core; the numpy EOS scan + object-array
+    gather leaves only one join per caption in Python.
+    """
+    toks = np.asarray(tokens)[:, 1:]            # drop BOS
+    if toks.size == 0:
+        return ["."] * len(toks)
+    eos = toks == EOS_ID
+    has = eos.any(axis=1)
+    ends = np.where(has, eos.argmax(axis=1), toks.shape[1])
+    words = vocab.words_array()[toks]           # (N, T-1) object gather
+    return [" ".join(list(words[i, :e]) + ["."])
+            for i, e in enumerate(ends)]
+
+
 def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
                       image_ids: Sequence[int], *, beam_width: int = 3,
                       max_words: int = 30, batch_size: int = 64,
@@ -82,6 +102,9 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
         feats = store.gather(ids).astype(np.float32)
         if normalize:
             feats = l1_normalize(feats)
+        if jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16):
+            # bit-identical bf16 upload (see the resident path)
+            feats = feats.astype(jnp.bfloat16)
         return feats, n_real
 
     n = len(image_ids)
@@ -101,8 +124,8 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
         tokens, n_reals = pending.pop(0)
         tokens = np.asarray(tokens)
         for gi, n_real in enumerate(n_reals):
-            lines.extend(caption_to_line(tokens[gi, i], vocab)
-                         for i in range(n_real))
+            if n_real:
+                lines.extend(detokenize_batch(tokens[gi, :n_real], vocab))
 
     if sample_n > 0:
         for batch_ids in id_batches:
@@ -135,6 +158,12 @@ def generate_captions(params: Params, vocab: Vocab, store: FeatureStore,
             table = np.asarray(store.table(), np.float32)  # no-copy: f32
             if normalize:
                 table = l1_normalize(table)
+            if jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16):
+                # the search casts features to bf16 before first use, so
+                # a bf16 upload is bit-identical and ships half the
+                # bytes — on the remote-tunnel rig the table upload IS
+                # the e2e bottleneck (BENCH_DETAIL.md bench_generate)
+                table = table.astype(jnp.bfloat16)
             dev_table = jnp.asarray(table)
             row_idx = store.rows(image_ids)
             rows_per_group = batch_size * scan_depth

@@ -31,7 +31,7 @@ from lrcn_tpu.config import LRCNConfig
 from lrcn_tpu.core.vocab import Vocab
 from lrcn_tpu.data.feature_store import FeatureStore, l1_normalize
 from lrcn_tpu.decode.beam import beam_search, greedy_search
-from lrcn_tpu.decode.writer import caption_to_line
+from lrcn_tpu.decode.writer import detokenize_batch
 from lrcn_tpu.serve.batcher import DynamicBatcher
 
 
@@ -172,7 +172,7 @@ class CaptionService:
         tokens = np.asarray(tokens)     # blocks for the device here
         if tokens.ndim == 3:            # grouped (G, B, T) burst decode
             tokens = tokens.reshape(-1, tokens.shape[-1])
-        return [caption_to_line(tokens[i], self.vocab) for i in range(n)]
+        return detokenize_batch(tokens[:n], self.vocab)
 
     MAX_DECODE_GROUPS = 4   # scanned batches per burst dispatch
 

@@ -245,3 +245,63 @@ def test_generate_captions_scanned_paths_match_per_batch(setup):
             direct.extend(caption_to_line(np.asarray(tokens)[i], vocab)
                           for i in range(len(batch)))
         assert lines == direct, (bw, lines[:3], direct[:3])
+
+
+def test_detokenize_batch_matches_caption_to_line():
+    """The vectorized detokenizer is output-identical to the per-row
+    reference implementation, including EOS-first (empty caption),
+    no-EOS (runs to the cap), and BOS-only rows."""
+    from lrcn_tpu.decode.writer import detokenize_batch
+
+    vocab = Vocab([f"w{i}" for i in range(30)])
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, len(vocab), (64, 12)).astype(np.int32)
+    toks[:, 0] = 1        # BOS slot
+    toks[0, 1] = 0        # EOS immediately -> "."
+    toks[1, 1:] = 5       # no EOS -> runs to the cap
+    expected = [caption_to_line(toks[i], vocab) for i in range(len(toks))]
+    assert detokenize_batch(toks, vocab) == expected
+    assert detokenize_batch(np.ones((3, 1), np.int32), vocab) == ["."] * 3
+
+
+def test_generate_captions_bf16_upload_paths_match(setup):
+    """bf16 compute: pre-cast bf16 feature uploads (resident table AND
+    host-gathered batches) are bit-identical to shipping f32 — the
+    search's first use of features is a cast to compute_dtype
+    (ops/lstm.py matmul), so the upload dtype cannot change tokens.
+    The bf16 upload halves the bytes of the e2e bottleneck
+    (BENCH_DETAIL.md bench_generate)."""
+    from lrcn_tpu.data.feature_store import FeatureStore
+    from lrcn_tpu.decode.writer import generate_captions
+
+    cfg, params, _ = setup
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    rng = np.random.default_rng(9)
+    n = 9
+    feats = {i: np.abs(rng.normal(size=cfg.cnn_feature_dim))
+             .astype(np.float32) for i in range(n)}
+    store = FeatureStore.from_dict(
+        {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    ids = list(range(n))
+
+    host = generate_captions(params, vocab, store, ids, beam_width=2,
+                             max_words=8, batch_size=4,
+                             compute_dtype=jnp.bfloat16)
+    res = generate_captions(params, vocab, store, ids, beam_width=2,
+                            max_words=8, batch_size=4,
+                            compute_dtype=jnp.bfloat16,
+                            resident_store=True)
+    assert host == res
+
+    # f32-upload reference: the same search fed float32 rows (cast
+    # happens inside the jitted program instead of on the host)
+    direct = []
+    for s in range(0, n, 4):
+        batch = ids[s:s + 4]
+        pad = batch + [batch[-1]] * (4 - len(batch))
+        f32 = jnp.asarray(np.stack([store.get(i) for i in pad]))
+        tokens, _ = beam_search(params, f32, beam_width=2, max_words=8,
+                                compute_dtype=jnp.bfloat16)
+        direct.extend(caption_to_line(np.asarray(tokens)[i], vocab)
+                      for i in range(len(batch)))
+    assert host == direct
