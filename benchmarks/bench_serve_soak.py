@@ -1,0 +1,108 @@
+"""Serving soak: sustained open-loop load, leak + stability accounting.
+
+Runs the native front-end under a fixed offered rate for minutes (not
+the 10 s capacity points) and reports what long-running production
+cares about: error count, latency drift between the first and last
+slice, and host-resource growth (RSS, open fds, threads) across the
+run — a leaky connection path or an unbounded queue shows up here long
+before it kills a deployment.
+
+Usage:
+  python benchmarks/bench_serve_soak.py [--rate 8000] [--duration 300]
+      [--conns 2048] [--slices 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+
+
+def rss_mb(trim: bool = True) -> float:
+    """Current RSS; by default after malloc_trim(0) so glibc's retained
+    free arenas (2048 allocating threads fragment heavily) don't read
+    as a leak — residual growth after trim is the real signal."""
+    if trim:
+        import ctypes
+
+        try:
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except OSError:
+            pass
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
+def fd_count() -> int:
+    return len(os.listdir("/proc/self/fd"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rate", type=int, default=8000)
+    ap.add_argument("--duration", type=float, default=300.0)
+    ap.add_argument("--conns", type=int, default=2048)
+    ap.add_argument("--slices", type=int, default=3,
+                    help="split the run into N loadgen slices so "
+                         "latency drift across the soak is visible")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_serve_capacity import build_service, run_loadgen
+
+    from lrcn_tpu.native import loadgen_binary
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    exe = loadgen_binary()
+    if exe is None:
+        sys.exit("loadgen unavailable")
+    svc = build_service(tiny=args.tiny)
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0,
+                        n_threads=args.conns + 64, wait_ms=10)
+    try:
+        run_loadgen(exe, fe.port, 8, 2)            # warm
+        before = {"rss_mb": round(rss_mb(), 1), "fds": fd_count(),
+                  "threads": threading.active_count()}
+        slices = []
+        per = args.duration / args.slices
+        for i in range(args.slices):
+            r = run_loadgen(exe, fe.port, args.conns, per,
+                            rate_rps=args.rate)
+            slices.append({k: r[k] for k in
+                           ("captions_per_s", "p50_ms", "p99_ms",
+                            "errors", "reconnects", "completion")})
+            # per-slice RSS: a real leak grows linearly with requests;
+            # allocator-arena/cache growth plateaus after slice 0
+            slices[-1]["rss_mb"] = round(rss_mb(), 1)
+            print(json.dumps({"slice": i, **slices[-1]}), flush=True)
+        after = {"rss_mb": round(rss_mb(), 1), "fds": fd_count(),
+                 "threads": threading.active_count()}
+        total_err = sum(s["errors"] for s in slices)
+        drift = slices[-1]["p99_ms"] / max(slices[0]["p99_ms"], 1e-9)
+        out = {"rate": args.rate, "duration_s": args.duration,
+               "conns": args.conns, "errors": total_err,
+               "p99_drift": round(drift, 3),
+               "before": before, "after": after,
+               "rss_growth_mb": round(after["rss_mb"] - before["rss_mb"],
+                                      1),
+               "fd_growth": after["fds"] - before["fds"]}
+        verdict = []
+        if total_err:
+            verdict.append(f"{total_err} errors")
+        if out["fd_growth"] > 32:
+            verdict.append(f"fd leak? +{out['fd_growth']}")
+        if out["rss_growth_mb"] > 0.1 * before["rss_mb"]:
+            verdict.append(f"rss grew {out['rss_growth_mb']} MB")
+        if drift > 1.5:
+            verdict.append(f"p99 drifted {drift:.2f}x")
+        out["verdict"] = "; ".join(verdict) if verdict else "clean"
+        print(json.dumps(out), flush=True)
+    finally:
+        fe.stop()
+        svc.close()
+
+
+if __name__ == "__main__":
+    main()

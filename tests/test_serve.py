@@ -596,3 +596,27 @@ def test_timed_out_requests_are_cancelled(tiny_model):
         assert len(out) == 1
     finally:
         svc.close()
+
+
+def test_service_bf16_table_matches_f32_fed_search(tiny_model):
+    """bf16 compute: the bf16-resident table (halved upload + HBM) is
+    token-identical to feeding f32 rows into the same bf16 search —
+    the search's first use of features is the cast to compute_dtype."""
+    cfg, vocab, params = tiny_model
+    store = _make_store(cfg)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                         max_words=8, decode_batch=4,
+                         compute_dtype=jnp.bfloat16)
+    try:
+        svc.warmup()
+        assert svc._table.dtype == jnp.bfloat16
+        ids = store.ids()[:6]
+        served = svc.caption_ids(ids)
+        feats = jnp.asarray(np.stack([store.get(i) for i in ids]))
+        tokens, _ = beam_search(params, feats, beam_width=2, max_words=8,
+                                compute_dtype=jnp.bfloat16)
+        offline = [caption_to_line(np.asarray(tokens)[i], vocab)
+                   for i in range(len(ids))]
+        assert served == offline
+    finally:
+        svc.close()
