@@ -70,10 +70,14 @@ def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
 
     ru0 = resource.getrusage(resource.RUSAGE_SELF)
     t0 = time.monotonic()
+    # timeout must outlive the loadgen's own worst case: open-loop
+    # grace watchdog (duration+120s) + a worker blocked in a 60s
+    # SO_RCVTIMEO recv when it fires — killing the child earlier loses
+    # the JSON for every prior point exactly when the server stalls
     out = subprocess.run(
         [exe, "127.0.0.1", str(port), str(conns), str(duration),
          str(max_id), str(ids_per_req), str(rate_rps)],
-        capture_output=True, text=True, timeout=duration + 120)
+        capture_output=True, text=True, timeout=duration + 240)
     wall = time.monotonic() - t0
     ru1 = resource.getrusage(resource.RUSAGE_SELF)
     if out.returncode != 0:
@@ -108,9 +112,11 @@ def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req):
             flag += "  <-- host-bound (client+server share the cores)"
         # every scheduled slot fires (late if need be), so overload
         # shows as schedule-relative latency + a drain tail past the
-        # schedule window, never as silently shed offered load
-        achieved = (r["captions"] / r["sched_s"] if r.get("sched_s")
-                    else r["captions_per_s"])
+        # schedule window, never as silently shed offered load.
+        # achieved counts over the FULL wall (drain included): an
+        # over-capacity point reads the server's true sustained rate,
+        # not the offered rate it merely queued
+        achieved = r["captions"] / r["wall_s"]
         if r.get("completion", 1.0) < 0.99:
             flag += (f"  <-- {1 - r['completion']:.1%} of scheduled "
                      f"requests errored/abandoned")

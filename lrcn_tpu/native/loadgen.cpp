@@ -141,6 +141,8 @@ void worker(const char* host, int port, int tid, long max_id,
     uint64_t x = 0x9E3779B97F4A7C15ull * (uint64_t)(tid + 1);
     const auto t_start = std::chrono::steady_clock::now();
     long k = 0;
+    long retry_slot = -1;   // open-loop: slot being retried after a
+    //                         broken stream (one retry, then errors++)
     while (!stop.load(std::memory_order_relaxed)) {
         if (interval_us > 0 && offset_us + k * interval_us >= sched_end_us)
             break;                       // schedule exhausted
@@ -199,8 +201,20 @@ void worker(const char* host, int port, int tid, long max_id,
             fd = dial(host, port);
             st.reconnects++;
             if (fd < 0) {
-                st.errors++;
+                st.errors++;        // redial failed: the slot is lost
                 std::this_thread::sleep_for(std::chrono::milliseconds(10));
+            } else if (interval_us > 0) {
+                // open-loop contract: a scheduled slot must end as a
+                // completion OR an error, never vanish.  Retry the
+                // broken slot once on the fresh connection; a second
+                // break counts it lost.
+                long cur = k - 1;
+                if (retry_slot != cur) {
+                    retry_slot = cur;
+                    k--;
+                } else {
+                    st.errors++;
+                }
             }
             continue;
         }

@@ -110,7 +110,8 @@ class CaptionService:
                            if jnp.dtype(compute_dtype) == jnp.bfloat16
                            else jnp.float32)
             dev_table = jnp.asarray(
-                np.asarray(table, np.float32).astype(table_dtype))
+                np.asarray(table, np.float32).astype(table_dtype,
+                                                     copy=False))
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 dev_table = jax.device_put(
