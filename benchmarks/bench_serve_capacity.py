@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 
-def build_service(tiny=False, burst_groups=None):
+def build_service(tiny=False, burst_groups=None, mesh_n=None):
     import jax
 
     from lrcn_tpu.config import LRCNConfig
@@ -51,11 +51,16 @@ def build_service(tiny=False, burst_groups=None):
     store = FeatureStore.from_dict(
         {k: v / v.sum() for k, v in feats.items()}, normalized=True)
     import jax.numpy as jnp
+    mesh = None
+    if mesh_n:
+        from lrcn_tpu.parallel import make_mesh
+        mesh = make_mesh((mesh_n, 1))
     svc = CaptionService(cfg, params, vocab, store=store, beam_width=3,
                          max_words=8 if tiny else 20,
                          decode_batch=32 if tiny else 256,
                          compute_dtype=jnp.float32 if tiny else jnp.bfloat16,
-                         max_wait_ms=10.0, max_burst_groups=burst_groups)
+                         max_wait_ms=10.0, max_burst_groups=burst_groups,
+                         mesh=mesh)
     svc.warmup()
     return svc
 
@@ -192,6 +197,9 @@ def main():
                     help="tiny model smoke test (CPU CI), not a benchmark")
     ap.add_argument("--burst-groups", type=int, default=None,
                     help="CaptionService max_burst_groups override")
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="serve over an (N, 1) device mesh (batch rows "
+                         "shard along 'data')")
     args = ap.parse_args()
     conns_list = [int(c) for c in args.sweep.split(",")]
     rate_list = ([int(r) for r in args.rate_sweep.split(",")]
@@ -203,7 +211,8 @@ def main():
     if exe is None:
         sys.exit("loadgen unavailable (g++ missing or LRCN_NATIVE=0)")
 
-    svc = build_service(tiny=args.tiny, burst_groups=args.burst_groups)
+    svc = build_service(tiny=args.tiny, burst_groups=args.burst_groups,
+                        mesh_n=args.mesh)
     all_results = {}
 
     if args.which in ("python", "both"):
