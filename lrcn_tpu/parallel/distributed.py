@@ -97,3 +97,39 @@ def host_local_batch(mesh: Mesh, batch_shard: Any,
             return jax.device_put(x, sharding)
         return jax.make_array_from_process_local_data(sharding, x)
     return jax.tree.map(one, batch_shard)
+
+
+def gather_to_host(tree: Any) -> Any:
+    """Materialize a (possibly multi-process-sharded) pytree as host numpy.
+
+    COLLECTIVE whenever any leaf spans processes: every process must call
+    it (the cross-process piece is an all-gather over ICI/DCN).  Leaves
+    this process can already see in full — fully-addressable arrays, and
+    replicated arrays whose local shard IS the value — are plain device
+    reads.  Single-process it degenerates to ``jax.tree.map(np.asarray)``.
+    """
+    def one(x):
+        if not isinstance(x, jax.Array):
+            return np.asarray(x)
+        if x.is_fully_addressable:
+            return np.asarray(x)
+        if x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return jax.tree.map(one, tree)
+
+
+def is_primary() -> bool:
+    """True on the process that owns cluster-wide side effects (writing
+    checkpoints, metrics files): process 0, or any single-process run."""
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (single-process: no-op).
+
+    ``name`` must be identical on all processes at the same barrier."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)

@@ -94,8 +94,26 @@ def save_checkpoint(path: str, params: Any, vocab: Vocab, cfg: LRCNConfig,
     ``position``: mid-epoch resume marker written by step-interval
     checkpointing ({epoch, dispatch, shuffle_state, epoch_key,
     geometry}); absent on epoch-complete saves, which is what marks the
-    epoch finished."""
+    epoch finished.
+
+    Multi-process safe: EVERY process must call this (param/opt leaves
+    sharded across processes are fetched with a collective all-gather),
+    but only process 0 touches the filesystem — N processes writing the
+    same path on a shared filesystem would race the atomic swap.  All
+    processes return only after the write completes (barrier), so a
+    follow-up ``load_checkpoint`` on any process sees the new snapshot.
+    """
     import shutil
+
+    from lrcn_tpu.parallel.distributed import barrier, gather_to_host, \
+        is_primary
+
+    params = gather_to_host(params)
+    if opt_state is not None:
+        opt_state = gather_to_host(opt_state)
+    if not is_primary():
+        barrier("lrcn_ckpt_save")
+        return
 
     # preserve sidecar files earlier code placed next to the checkpoint
     # (e.g. average_image.npy written by the joint CLI before training)
@@ -116,6 +134,7 @@ def save_checkpoint(path: str, params: Any, vocab: Vocab, cfg: LRCNConfig,
         shutil.rmtree(path)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    barrier("lrcn_ckpt_save")
 
 
 def recover_checkpoint(path: str) -> str | None:

@@ -340,3 +340,104 @@ def test_initialize_single_worker_markers_stay_single_process(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
     assert _cluster_environment()
+
+
+def test_gather_to_host_in_process_shardings():
+    """gather_to_host returns exact values for sharded, replicated, and
+    plain-numpy leaves (in-process every jax.Array is fully addressable;
+    the cross-process branch is covered by the 2-process checkpoint
+    test)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lrcn_tpu.parallel.distributed import gather_to_host
+
+    mesh = make_mesh((8, 1))
+    rng = np.random.default_rng(0)
+    sharded_v = rng.standard_normal((16, 4)).astype(np.float32)
+    repl_v = rng.standard_normal((3, 5)).astype(np.float32)
+    tree = {
+        "sharded": jax.device_put(sharded_v,
+                                  NamedSharding(mesh, P("data"))),
+        "replicated": jax.device_put(repl_v, NamedSharding(mesh, P())),
+        "plain": np.arange(6.0),
+    }
+    out = gather_to_host(tree)
+    for leaf in jax.tree.leaves(out):
+        assert isinstance(leaf, np.ndarray)
+    np.testing.assert_array_equal(out["sharded"], sharded_v)
+    np.testing.assert_array_equal(out["replicated"], repl_v)
+    np.testing.assert_array_equal(out["plain"], np.arange(6.0))
+
+
+_CKPT_CHILD = """
+import os, sys
+pid, port, ckpt = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ.pop("XLA_FLAGS", None)   # 1 CPU device per process
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lrcn_tpu.parallel.distributed import initialize
+initialize("127.0.0.1:" + port, 2, pid)   # before any backend use
+import numpy as np
+from lrcn_tpu.config import LRCNConfig
+from lrcn_tpu.core.vocab import Vocab
+from lrcn_tpu.models import lrcn
+from lrcn_tpu.parallel import ShardedTrainStep, make_mesh
+from lrcn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from lrcn_tpu.train.trainer import make_optimizer
+cfg = LRCNConfig(hidden=(32, 32), embed=24, cnn_feature_dim=64,
+                 vocab_size=48, batch_size=8, dropout=0.0,
+                 compute_dtype="float32", seed=7)
+host_params = jax.tree.map(
+    np.asarray, lrcn.init_params(jax.random.PRNGKey(0), cfg))
+mesh = make_mesh((1, 2))   # vocab-TP: the 'model' axis SPANS processes
+step = ShardedTrainStep(cfg, make_optimizer(cfg), mesh)
+params = step.shard_params(lrcn.init_params(jax.random.PRNGKey(0), cfg))
+opt_state = step.init_opt(params)
+# the premise of the test: these leaves are NOT visible to one process
+assert not params["embedding"].is_fully_addressable
+assert not params["w_out"].is_fully_addressable
+save_checkpoint(ckpt, params, vocab=Vocab([f"w{i}" for i in range(45)]),
+                cfg=cfg, opt_state=opt_state, epoch=3)
+# the barrier guarantees BOTH processes see the finished snapshot
+loaded = load_checkpoint(ckpt)
+got = jax.tree.leaves(loaded["params"])
+want = jax.tree.leaves(host_params)
+ok = (len(got) == len(want)
+      and all(np.allclose(a, b) for a, b in zip(got, want))
+      and loaded["epoch"] == 3
+      and len(loaded["opt_leaves"]) == len(jax.tree.leaves(opt_state)))
+print("CKPT_OK" if ok else "CKPT_MISMATCH", flush=True)
+"""
+
+
+def test_two_process_checkpoint_single_writer(tmp_path):
+    """Checkpointing from a REAL 2-process run with params sharded ACROSS
+    the processes (vocab-TP over a 2-process 'model' axis): every process
+    calls save_checkpoint, the non-addressable embedding/w_out leaves are
+    all-gathered collectively, only process 0 writes, and after the
+    barrier BOTH processes load the snapshot and see the full unsharded
+    values."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    ckpt = str(tmp_path / "ckpt")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CKPT_CHILD, str(pid), port, ckpt],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out, err)
+        assert "CKPT_OK" in out, (out, err)
+    assert os.path.exists(os.path.join(ckpt, "config.json"))
+    assert not os.path.exists(ckpt + ".tmp")
