@@ -152,6 +152,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "the vocab tensor-parallel axis; requires "
                         "hidden1 == hidden2 == embed, even")
     p.add_argument("--metrics", help="JSONL metrics file")
+    # --- multi-host: run one `lrcn train` per host; they join one JAX
+    #     coordination service and the mesh spans every host's chips.
+    #     With no flags, cluster env vars (JAX_COORDINATOR_ADDRESS,
+    #     TPU_WORKER_HOSTNAMES, SLURM/OMPI counts) are auto-detected;
+    #     single-host runs are unaffected (parallel/distributed.py).
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="JAX coordination service address (multi-host); "
+                        "omit to auto-detect from the environment")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count (multi-host)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id, 0-based (multi-host)")
     p.add_argument("--ckpt-every", type=int, default=None,
                    help="also checkpoint every N dispatches within an "
                         "epoch (crash-safe mid-epoch resume; the "
@@ -490,8 +502,13 @@ def cmd_train(args) -> int:
         load_checkpoint,
         restore_opt_state_like,
     )
+    from lrcn_tpu.parallel.distributed import initialize, is_primary
     from lrcn_tpu.train.metrics import MetricsLogger
     from lrcn_tpu.train.trainer import Trainer
+
+    # multi-host: join the coordination service BEFORE any other JAX use
+    # (a no-op single-process with no flags and no cluster env vars)
+    initialize(args.coordinator, args.num_processes, args.process_id)
 
     _autofill_datafiles(args)
     if not args.datafiles:
@@ -535,8 +552,17 @@ def cmd_train(args) -> int:
         mesh = make_mesh(tuple(args.mesh))
     elif args.pipeline:
         raise SystemExit("lrcn train: --pipeline requires --mesh DP 2")
+    elif jax.process_count() > 1:
+        raise SystemExit(
+            "lrcn train: multi-process runs need --mesh DP TP spanning "
+            "every process's devices — without it each process would "
+            "train an independent replica")
 
-    metrics = MetricsLogger(args.metrics)
+    # multi-host: only process 0 writes metrics/echoes (each process
+    # runs the identical loop; N writers would interleave one file)
+    primary = is_primary()
+    metrics = MetricsLogger(args.metrics if primary else None,
+                            echo=primary)
     trainer = Trainer(cfg, vocab, metrics, mesh=mesh,
                       pipeline=args.pipeline,
                       steps_per_dispatch=args.steps_per_dispatch)
@@ -688,8 +714,15 @@ def _train_joint(args) -> int:
     if args.mesh:
         from lrcn_tpu.parallel import make_mesh
         mesh = make_mesh(tuple(args.mesh))
+    elif jax.process_count() > 1:
+        raise SystemExit(
+            "lrcn train --joint: multi-process runs need --mesh DP TP "
+            "spanning every process's devices")
 
-    metrics = MetricsLogger(args.metrics)
+    from lrcn_tpu.parallel.distributed import is_primary
+    primary = is_primary()   # single metrics writer (see cmd_train)
+    metrics = MetricsLogger(args.metrics if primary else None,
+                            echo=primary)
     trainer = JointTrainer(cfg, vocab, image_paths, average_image,
                            metrics=metrics, mesh=mesh, cnn_lr=args.cnn_lr,
                            freeze_cnn=args.freeze_cnn,

@@ -27,6 +27,16 @@ def prefetch_to_device(iterator: Iterable[Any], size: int = 2,
     queue: collections.deque = collections.deque()
     it = iter(iterator)
 
+    def put(item):
+        # leaves the transform already placed (e.g. sharded global
+        # arrays) pass through: a second device_put would be a no-op
+        # single-process and reject non-addressable multi-process arrays
+        if device is None and all(
+                isinstance(leaf, jax.Array)
+                for leaf in jax.tree_util.tree_leaves(item)):
+            return item
+        return jax.device_put(item, device)
+
     def enqueue(n: int) -> None:
         for _ in range(n):
             try:
@@ -35,7 +45,7 @@ def prefetch_to_device(iterator: Iterable[Any], size: int = 2,
                 return
             if transform is not None:
                 item = transform(item)
-            queue.append(jax.device_put(item, device))
+            queue.append(put(item))
 
     enqueue(size)
     while queue:

@@ -120,6 +120,27 @@ def gather_to_host(tree: Any) -> Any:
     return jax.tree.map(one, tree)
 
 
+def shared_seed(seed: int | None) -> int | None:
+    """A shuffle seed every process agrees on.
+
+    Seeded runs already agree (the same flag value reaches every
+    process).  UNSEEDED multi-process runs must not each draw their own
+    entropy: the shuffle order would silently diverge across processes
+    and each would train on a different batch stream while the
+    collectives still "work" — the classic wrong-but-healthy-looking
+    failure.  Process 0 draws the entropy and broadcasts it.
+    Single-process, ``None`` stays ``None`` (preserving the reference's
+    unseeded behavior, lrcn.jl --seed <= 0).
+    """
+    if seed is not None or jax.process_count() == 1:
+        return seed
+    import secrets
+
+    from jax.experimental import multihost_utils
+    local = np.int64(secrets.randbits(63))
+    return int(multihost_utils.broadcast_one_to_all(local))
+
+
 def is_primary() -> bool:
     """True on the process that owns cluster-wide side effects (writing
     checkpoints, metrics files): process 0, or any single-process run."""

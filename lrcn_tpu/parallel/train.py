@@ -92,11 +92,18 @@ def place_opt_state(opt_state: Any, param_sharding_tree: Any,
 
 
 def put_batch(mesh: Mesh, tokens, lengths, feats) -> tuple:
-    """Device-put one (tokens, lengths, feats) batch sharded over 'data'."""
+    """Device-put one (tokens, lengths, feats) batch sharded over 'data'.
+
+    Inputs stay host-side until the sharded put: a ``jnp.asarray`` first
+    would commit the full batch to the local default device, an extra
+    copy single-host and a wrong intermediate multi-host (each process
+    holds the same GLOBAL batch and the put extracts its local rows).
+    """
+    import numpy as np
     b_sh = batch_sharding(mesh)
-    return (jax.device_put(jnp.asarray(tokens), b_sh),
-            jax.device_put(jnp.asarray(lengths), b_sh),
-            jax.device_put(jnp.asarray(feats, jnp.float32), b_sh))
+    return (jax.device_put(np.asarray(tokens), b_sh),
+            jax.device_put(np.asarray(lengths), b_sh),
+            jax.device_put(np.asarray(feats, np.float32), b_sh))
 
 
 class ShardedTrainStep:

@@ -226,8 +226,12 @@ class JointTrainer:
         crash-safe mid-epoch checkpointing as the decoder trainer."""
         import copy
 
+        from lrcn_tpu.parallel.distributed import shared_seed
+
         epochs = epochs if epochs is not None else self.cfg.epochs
-        seed = self.cfg.seed if self.cfg.seed > 0 else None
+        # multi-process: unseeded runs broadcast process 0's entropy so
+        # every process shuffles identically (distributed.shared_seed)
+        seed = shared_seed(self.cfg.seed if self.cfg.seed > 0 else None)
         shuffle_rng = np.random.default_rng(seed)
         best_val = float("inf")
         geometry = {"steps_per_dispatch": self.steps_per_dispatch,

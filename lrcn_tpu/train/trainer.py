@@ -206,11 +206,16 @@ class Trainer:
 
         cached = self._table_cache
         if cached is None or cached[0]() is not store:
-            table = jnp.asarray(store.table())
             if self._mesh is not None:
+                # host -> replicated put (committing to the default
+                # device first would be an extra copy, and wrong
+                # multi-process)
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 table = jax.device_put(
-                    table, NamedSharding(self._mesh, P()))
+                    np.asarray(store.table()),
+                    NamedSharding(self._mesh, P()))
+            else:
+                table = jnp.asarray(store.table())
             self._table_cache = (weakref.ref(store), table)
         return self._table_cache[1]
 
@@ -224,7 +229,8 @@ class Trainer:
             return tuple(jnp.asarray(a) for a in arrays)
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self._mesh, P(None, "data"))
-        return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
+        # host -> sharded put directly (see parallel.train.put_batch)
+        return tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
 
     def train_epoch(self, params, opt_state, batches: Sequence[Batch],
                     store: FeatureStore, rng_key: jax.Array,
@@ -292,7 +298,10 @@ class Trainer:
             step_key = jax.random.fold_in(single_base, j)
             params, opt_state, loss = self._train_step(
                 params, opt_state, tokens, lengths, feats, step_key)
-            tokens_seen += int(np.sum(np.maximum(np.asarray(lengths), 0)))
+            # count from the HOST batch: device lengths may be sharded
+            # across processes (not addressable here)
+            tokens_seen += int(np.sum(
+                np.maximum(order[skip_single + i].lengths, 0)))
             if log_every and j % log_every == 0:
                 self.metrics.log(event="train", batch=j,
                                  loss=round(float(loss), 4),
@@ -362,8 +371,12 @@ class Trainer:
         """
         import copy
 
+        from lrcn_tpu.parallel.distributed import shared_seed
+
         epochs = epochs if epochs is not None else self.cfg.epochs
-        seed = self.cfg.seed if self.cfg.seed > 0 else None
+        # multi-process: unseeded runs broadcast process 0's entropy so
+        # every process shuffles identically (distributed.shared_seed)
+        seed = shared_seed(self.cfg.seed if self.cfg.seed > 0 else None)
         shuffle_rng = np.random.default_rng(seed)
         best_val = float("inf")
         geometry = {"steps_per_dispatch": self.steps_per_dispatch,

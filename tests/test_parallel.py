@@ -441,3 +441,101 @@ def test_two_process_checkpoint_single_writer(tmp_path):
         assert "CKPT_OK" in out, (out, err)
     assert os.path.exists(os.path.join(ckpt, "config.json"))
     assert not os.path.exists(ckpt + ".tmp")
+
+
+_FIT_CHILD = """
+import os, sys
+pid, port, tmp = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ.pop("XLA_FLAGS", None)   # 1 CPU device per process
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lrcn_tpu import cli
+rc = cli.main([
+    "train", "--datafiles", os.path.join(tmp, "captions_train.json"),
+    "--features", os.path.join(tmp, "feats"),
+    "--savefile", os.path.join(tmp, "ckpt_2proc"),
+    "--metrics", os.path.join(tmp, "metrics_%d.jsonl" % pid),
+    "--epochs", "2", "--batchsize", "8", "--mesh", "1", "2",
+    "--hidden", "32", "32", "--embed", "24", "--seed", "3",
+    "--dropout", "0.0", "--compute-dtype", "float32",
+    "--coordinator", "127.0.0.1:" + port,
+    "--num-processes", "2", "--process-id", str(pid)])
+print("FIT_RC=%d" % rc, flush=True)
+"""
+
+
+def test_two_process_cli_fit_matches_single_process(tmp_path):
+    """End-to-end multi-host `lrcn train`: two OS processes (1 CPU device
+    each) join one coordination service via the CLI's --coordinator
+    flags, train 2 epochs on a vocab-TP mesh whose 'model' axis SPANS the
+    processes, and produce (a) a checkpoint identical to the in-process
+    2-device run of the same command and (b) exactly one metrics file —
+    process 1's writer is gated off."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from lrcn_tpu import cli
+    from lrcn_tpu.data.feature_store import FeatureStore, l1_normalize
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+
+    # tiny COCO-style corpus: 48 images x 5 captions, 12 caption classes,
+    # vocabulary size 20 (divisible by the model axis)
+    words = ["a", "man", "rides", "his", "bike", "dog", "runs", "on",
+             "grass", "two", "children", "play", "in", "the", "park",
+             "near", "water"]
+    rng = np.random.default_rng(17)
+    caps = [" ".join(rng.choice(words, 7)) + " ." for _ in range(12)]
+    anns = [{"image_id": 5000 + i, "caption": caps[i % 12]}
+            for i in range(48) for _ in range(5)]
+    with open(tmp_path / "captions_train.json", "w") as f:
+        json.dump({"annotations": anns}, f)
+    feats = rng.standard_normal((48, 16)).astype(np.float32)
+    FeatureStore.from_dict(
+        {5000 + i: l1_normalize(feats[i:i + 1])[0] for i in range(48)},
+        normalized=True).save(str(tmp_path / "feats"))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _FIT_CHILD, str(pid), port,
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out, err)
+        assert "FIT_RC=0" in out, (out, err)
+
+    # single writer: only process 0's metrics file exists
+    assert os.path.exists(tmp_path / "metrics_0.jsonl")
+    assert not os.path.exists(tmp_path / "metrics_1.jsonl")
+    epochs = [json.loads(ln) for ln in open(tmp_path / "metrics_0.jsonl")
+              if json.loads(ln).get("event") == "epoch"]
+    assert [e["epoch"] for e in epochs] == [1, 2]
+
+    # the same command in-process on a 2-device (1,2) mesh
+    assert cli.main([
+        "train", "--datafiles", str(tmp_path / "captions_train.json"),
+        "--features", str(tmp_path / "feats"),
+        "--savefile", str(tmp_path / "ckpt_1proc"),
+        "--epochs", "2", "--batchsize", "8", "--mesh", "1", "2",
+        "--hidden", "32", "32", "--embed", "24", "--seed", "3",
+        "--dropout", "0.0", "--compute-dtype", "float32"]) == 0
+
+    two = load_checkpoint(str(tmp_path / "ckpt_2proc"))
+    one = load_checkpoint(str(tmp_path / "ckpt_1proc"))
+    assert two["epoch"] == one["epoch"] == 2
+    leaves2 = jax.tree.leaves(two["params"])
+    leaves1 = jax.tree.leaves(one["params"])
+    assert len(leaves2) == len(leaves1)
+    for a, b in zip(leaves2, leaves1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
