@@ -137,7 +137,8 @@ def shared_seed(seed: int | None) -> int | None:
     import secrets
 
     from jax.experimental import multihost_utils
-    local = np.int64(secrets.randbits(63))
+    # 31 bits: survives the default x64-disabled int32 world unchanged
+    local = np.int32(secrets.randbits(31))
     return int(multihost_utils.broadcast_one_to_all(local))
 
 

@@ -539,3 +539,47 @@ def test_two_process_cli_fit_matches_single_process(tmp_path):
     assert len(leaves2) == len(leaves1)
     for a, b in zip(leaves2, leaves1):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+_SEED_CHILD = """
+import os, sys
+pid, port = int(sys.argv[1]), sys.argv[2]
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lrcn_tpu.parallel.distributed import initialize, shared_seed
+initialize("127.0.0.1:" + port, 2, pid)
+print("SEED=%d" % shared_seed(None), flush=True)
+print("EXPLICIT=%d" % shared_seed(41), flush=True)
+"""
+
+
+def test_two_process_shared_seed_agrees(tmp_path):
+    """Unseeded multi-process runs broadcast process 0's shuffle entropy:
+    both processes report the SAME seed (and explicit seeds pass
+    through), so batch streams can never silently diverge."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SEED_CHILD, str(pid), port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=120) for p in procs]
+    seeds, explicit = [], []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out, err)
+        seeds += [ln for ln in out.splitlines() if ln.startswith("SEED=")]
+        explicit += [ln for ln in out.splitlines()
+                     if ln.startswith("EXPLICIT=")]
+    assert len(seeds) == 2 and seeds[0] == seeds[1], seeds
+    assert explicit == ["EXPLICIT=41", "EXPLICIT=41"]
