@@ -25,6 +25,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from lrcn_tpu.config import LRCNConfig
@@ -90,7 +91,6 @@ class JointTrainStep:
 
     def __init__(self, cfg: LRCNConfig, opt: optax.GradientTransformation,
                  mesh=None, remat_cnn: bool = True, average_image=None):
-        import numpy as np
 
         self.cfg = cfg
         self.opt = opt
@@ -99,17 +99,20 @@ class JointTrainStep:
         self._remat = remat_cnn
         avg = (np.zeros((224, 224, 3), np.float32) if average_image is None
                else np.asarray(average_image, np.float32))
-        self._avg = jnp.asarray(avg)
         kwargs = {}
         multi_kwargs = {}
         ev_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(mesh, P())
-            self._avg = jax.device_put(self._avg, rep)
+            # host -> replicated directly (a default-device commit first
+            # would break when the mesh spans processes)
+            self._avg = jax.device_put(avg, rep)
             kwargs["out_shardings"] = (None, None, rep)
             multi_kwargs["out_shardings"] = (None, None, rep)
             ev_kwargs["out_shardings"] = (rep, rep)
+        else:
+            self._avg = jnp.asarray(avg)
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1),
                              **kwargs)
         self._multi = jax.jit(self._multi_step_impl, donate_argnums=(0, 1),
@@ -177,35 +180,39 @@ class JointTrainStep:
 
     def _put(self, array, *, batch_axis: int):
         if self.mesh is None:
-            return array
+            # async upload to the default device from the prefetch thread
+            return jnp.asarray(array)
         from jax.sharding import NamedSharding, PartitionSpec as P
         spec = [None] * batch_axis + ["data"]
         return jax.device_put(array, NamedSharding(self.mesh, P(*spec)))
 
     def _as_image_array(self, images):
-        images = jnp.asarray(images)
-        if images.dtype != jnp.uint8:   # already-scaled float pixels
-            images = images.astype(jnp.float32)
+        # host-side until _put: with a mesh the sharded device_put
+        # extracts this process's rows (pre-committing to the default
+        # device breaks when the mesh spans processes); without one the
+        # commit happens in _put
+        images = np.asarray(images)
+        if images.dtype != np.uint8:   # already-scaled float pixels
+            images = images.astype(np.float32)
         return images
 
     def shard_batch(self, images, tokens, lengths):
         """Raw image pixels (uint8 preferred) + tokens -> device arrays."""
         return (self._put(self._as_image_array(images), batch_axis=0),
-                self._put(jnp.asarray(tokens, jnp.int32), batch_axis=0),
-                self._put(jnp.asarray(lengths, jnp.int32), batch_axis=0))
+                self._put(np.asarray(tokens, np.int32), batch_axis=0),
+                self._put(np.asarray(lengths, np.int32), batch_axis=0))
 
     def shard_chunk(self, images_k, tokens_k, lengths_k):
         """K stacked batches for ``multi_step`` (leading scan axis)."""
         return (self._put(self._as_image_array(images_k), batch_axis=1),
-                self._put(jnp.asarray(tokens_k, jnp.int32), batch_axis=1),
-                self._put(jnp.asarray(lengths_k, jnp.int32), batch_axis=1))
+                self._put(np.asarray(tokens_k, np.int32), batch_axis=1),
+                self._put(np.asarray(lengths_k, np.int32), batch_axis=1))
 
     def __call__(self, params, opt_state, images, tokens, lengths, rng):
         return self._step(params, opt_state, images, tokens, lengths, rng)
 
     def multi_step(self, params, opt_state, images_k, tokens_k, lengths_k,
                    base_rng, offset):
-        import numpy as np
         return self._multi(params, opt_state, images_k, tokens_k,
                            lengths_k, base_rng, np.int32(offset))
 
