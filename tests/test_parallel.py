@@ -583,3 +583,108 @@ def test_two_process_shared_seed_agrees(tmp_path):
                      if ln.startswith("EXPLICIT=")]
     assert len(seeds) == 2 and seeds[0] == seeds[1], seeds
     assert explicit == ["EXPLICIT=41", "EXPLICIT=41"]
+
+
+_JOINT_FIT_CHILD = """
+import functools, os, sys
+pid, port, tmp = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ.pop("XLA_FLAGS", None)   # 1 CPU device per process
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lrcn_tpu.models import vgg as vgg_mod
+_orig = vgg_mod.init_vgg_params
+vgg_mod.init_vgg_params = functools.partial(
+    _orig, width_multiplier=0.05, fc_dim=24)
+from lrcn_tpu import cli
+rc = cli.main([
+    "train", "--joint", "--images", os.path.join(tmp, "imgs"),
+    "--datafiles", os.path.join(tmp, "captions_train.json"),
+    "--savefile", os.path.join(tmp, "joint_2proc"),
+    "--metrics", os.path.join(tmp, "jmetrics_%d.jsonl" % pid),
+    "--epochs", "1", "--batchsize", "4", "--mesh", "2", "1",
+    "--hidden", "16", "16", "--embed", "12", "--seed", "3",
+    "--dropout", "0.0", "--compute-dtype", "float32",
+    "--coordinator", "127.0.0.1:" + port,
+    "--num-processes", "2", "--process-id", str(pid)])
+print("FIT_RC=%d" % rc, flush=True)
+"""
+
+
+def test_two_process_cli_joint_fit_matches_single_process(tmp_path,
+                                                          monkeypatch):
+    """End-to-end multi-host `lrcn train --joint`: two OS processes (1 CPU
+    device each) fine-tune CNN+decoder on a data-parallel mesh whose
+    'data' axis SPANS the processes — each host decodes the batch's
+    images and the sharded device_put extracts its rows (models/joint.py
+    host->sharded staging) — and produce a checkpoint identical to the
+    in-process 2-device run, with only process 0 writing metrics."""
+    import functools
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from lrcn_tpu import cli
+    from lrcn_tpu.models import vgg as vgg_mod
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+
+    rng = np.random.default_rng(6)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    ids = [41000 + i for i in range(8)]
+    for iid in ids:
+        Image.fromarray(
+            rng.integers(0, 255, (230, 260, 3)).astype(np.uint8)
+        ).save(str(img_dir / f"COCO_train2014_{iid:012d}.jpg"))
+    words = ["a", "man", "rides", "his", "bike", "dog", "runs", "on"]
+    anns = [{"image_id": iid, "caption": " ".join(rng.choice(words, 5))}
+            for iid in ids for _ in range(5)]
+    with open(tmp_path / "captions_train.json", "w") as f:
+        json.dump({"annotations": anns}, f)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _JOINT_FIT_CHILD, str(pid), port,
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out, err)
+        assert "FIT_RC=0" in out, (out, err)
+
+    # single writer: only process 0's metrics file exists
+    assert os.path.exists(tmp_path / "jmetrics_0.jsonl")
+    assert not os.path.exists(tmp_path / "jmetrics_1.jsonl")
+
+    # the same command in-process on a 2-device (2,1) mesh
+    monkeypatch.setattr(
+        vgg_mod, "init_vgg_params",
+        functools.partial(vgg_mod.init_vgg_params,
+                          width_multiplier=0.05, fc_dim=24))
+    assert cli.main([
+        "train", "--joint", "--images", str(img_dir),
+        "--datafiles", str(tmp_path / "captions_train.json"),
+        "--savefile", str(tmp_path / "joint_1proc"),
+        "--epochs", "1", "--batchsize", "4", "--mesh", "2", "1",
+        "--hidden", "16", "16", "--embed", "12", "--seed", "3",
+        "--dropout", "0.0", "--compute-dtype", "float32"]) == 0
+
+    two = load_checkpoint(str(tmp_path / "joint_2proc"))
+    one = load_checkpoint(str(tmp_path / "joint_1proc"))
+    assert two["epoch"] == one["epoch"] == 1
+    leaves2 = jax.tree.leaves(two["params"])
+    leaves1 = jax.tree.leaves(one["params"])
+    assert len(leaves2) == len(leaves1)
+    for a, b in zip(leaves2, leaves1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
