@@ -452,8 +452,11 @@ jax.config.update("jax_platforms", "cpu")
 from lrcn_tpu import cli
 rc = cli.main([
     "train", "--datafiles", os.path.join(tmp, "captions_train.json"),
+    os.path.join(tmp, "captions_val.json"),
     "--features", os.path.join(tmp, "feats"),
+    "--val-features", os.path.join(tmp, "feats"),
     "--savefile", os.path.join(tmp, "ckpt_2proc"),
+    "--bestfile", os.path.join(tmp, "best_2proc"),
     "--metrics", os.path.join(tmp, "metrics_%d.jsonl" % pid),
     "--epochs", "2", "--batchsize", "8", "--mesh", "1", "2",
     "--hidden", "32", "32", "--embed", "24", "--seed", "3",
@@ -492,6 +495,12 @@ def test_two_process_cli_fit_matches_single_process(tmp_path):
             for i in range(48) for _ in range(5)]
     with open(tmp_path / "captions_train.json", "w") as f:
         json.dump({"annotations": anns}, f)
+    # val split reuses the first 12 images (same word set -> same vocab);
+    # exercises the cross-process average_loss + --bestfile path
+    val_anns = [{"image_id": 5000 + i, "caption": caps[(i + 3) % 12]}
+                for i in range(12) for _ in range(5)]
+    with open(tmp_path / "captions_val.json", "w") as f:
+        json.dump({"annotations": val_anns}, f)
     feats = rng.standard_normal((48, 16)).astype(np.float32)
     FeatureStore.from_dict(
         {5000 + i: l1_normalize(feats[i:i + 1])[0] for i in range(48)},
@@ -521,15 +530,34 @@ def test_two_process_cli_fit_matches_single_process(tmp_path):
     epochs = [json.loads(ln) for ln in open(tmp_path / "metrics_0.jsonl")
               if json.loads(ln).get("event") == "epoch"]
     assert [e["epoch"] for e in epochs] == [1, 2]
+    # val loss computed collectively (sharded eval batches, replicated
+    # sums) and logged by the single writer
+    assert all("val_loss" in e for e in epochs), epochs
 
     # the same command in-process on a 2-device (1,2) mesh
     assert cli.main([
         "train", "--datafiles", str(tmp_path / "captions_train.json"),
+        str(tmp_path / "captions_val.json"),
         "--features", str(tmp_path / "feats"),
+        "--val-features", str(tmp_path / "feats"),
         "--savefile", str(tmp_path / "ckpt_1proc"),
+        "--bestfile", str(tmp_path / "best_1proc"),
+        "--metrics", str(tmp_path / "metrics_1proc.jsonl"),
         "--epochs", "2", "--batchsize", "8", "--mesh", "1", "2",
         "--hidden", "32", "32", "--embed", "24", "--seed", "3",
         "--dropout", "0.0", "--compute-dtype", "float32"]) == 0
+    epochs1 = [json.loads(ln)
+               for ln in open(tmp_path / "metrics_1proc.jsonl")
+               if json.loads(ln).get("event") == "epoch"]
+    for e2, e1 in zip(epochs, epochs1):
+        assert abs(e2["val_loss"] - e1["val_loss"]) < 1e-3, (epochs,
+                                                             epochs1)
+    # the improving-val bestfile checkpoint exists and matches too
+    best2 = load_checkpoint(str(tmp_path / "best_2proc"))
+    best1 = load_checkpoint(str(tmp_path / "best_1proc"))
+    for a, b in zip(jax.tree.leaves(best2["params"]),
+                    jax.tree.leaves(best1["params"])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
     two = load_checkpoint(str(tmp_path / "ckpt_2proc"))
     one = load_checkpoint(str(tmp_path / "ckpt_1proc"))
