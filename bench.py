@@ -176,7 +176,7 @@ BENCHES = {"decode": bench_decode, "vgg": bench_vgg, "train": bench_train}
 
 
 def _run_watchdogged(name: str, timeout_s: int = 360,
-                     attempts: int = 2) -> bool:
+                     attempts: int = 3) -> bool:
     """Run one metric in a CHILD process with a hard timeout.
 
     The experimental TPU runtime sometimes WEDGES (a fetch blocks in C
@@ -204,7 +204,9 @@ def _run_watchdogged(name: str, timeout_s: int = 360,
         print(f"bench {name}: child failed rc={proc.returncode}\n"
               f"{proc.stderr[-2000:]}", file=sys.stderr, flush=True)
         if proc.returncode != 0 and attempt + 1 < attempts:
-            time.sleep(10)
+            # tunnel outages are usually seconds, occasionally minutes;
+            # back off harder on each retry to ride out the short ones
+            time.sleep(10 * (6 ** attempt))
     return False
 
 
