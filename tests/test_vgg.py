@@ -297,9 +297,14 @@ def test_extract_features_survives_sigkill(tmp_path):
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     err_path = tmp_path / "child_stderr.log"
     with open(err_path, "wb") as err_file:
+        # flip the platform via jax.config, not just the env var: the CI
+        # image's sitecustomize re-registers the TPU backend over
+        # JAX_PLATFORMS, and a wedged TPU tunnel then hangs the child
+        # before its first flush
         child = subprocess.Popen(
             [sys.executable, "-c",
-             "import sys; from lrcn_tpu.cli import main; "
+             "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+             "from lrcn_tpu.cli import main; "
              "sys.exit(main(sys.argv[1:]))", *args],
             env={**os.environ, "JAX_PLATFORMS": "cpu",
                  "PYTHONPATH": repo_root + os.pathsep
