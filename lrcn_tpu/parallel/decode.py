@@ -24,9 +24,16 @@ def shard_for_decode(params: Params, feats, mesh: Mesh
     The global batch must be divisible by the total device count of the
     ``data`` axis.
     """
+    import numpy as np
+
     params = jax.device_put(params, NamedSharding(mesh, P()))
-    feats = jax.device_put(jnp.asarray(feats, jnp.float32),
-                           NamedSharding(mesh, P("data")))
+    if not isinstance(feats, jax.Array):
+        # stay host-side until the sharded put: a default-device commit
+        # first is an extra hop and breaks when the mesh spans processes
+        feats = np.asarray(feats, np.float32)
+    elif feats.dtype != jnp.float32:
+        feats = feats.astype(jnp.float32)
+    feats = jax.device_put(feats, NamedSharding(mesh, P("data")))
     return params, feats
 
 

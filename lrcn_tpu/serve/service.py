@@ -201,11 +201,14 @@ class CaptionService:
             return self._decode_rows_fn(rows)
         idx = np.zeros((g, b), np.int32)
         idx.reshape(-1)[:n] = rows
-        dev_idx = jnp.asarray(idx)
         if self.mesh is not None:
+            # host -> sharded directly (a default-device commit first
+            # would be an extra device->device hop)
             from jax.sharding import NamedSharding, PartitionSpec as P
             dev_idx = jax.device_put(
-                dev_idx, NamedSharding(self.mesh, P(None, "data")))
+                idx, NamedSharding(self.mesh, P(None, "data")))
+        else:
+            dev_idx = jnp.asarray(idx)
         tokens, _ = _rows_search_scan(
             self.params, self._table, dev_idx,
             beam_width=self.beam_width, max_words=self.max_words,
