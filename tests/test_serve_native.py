@@ -442,3 +442,47 @@ def test_capacity_driver_smoke_closed_and_open_loop():
     finally:
         fe.stop()
         svc.close()
+
+
+def test_native_frontend_on_mesh_matches_single_device():
+    """The native pump end to end OVER HTTP on a sharded service: the
+    grouped drain dispatches (G, B) indices P(None, 'data') against the
+    replicated table (serve/service.py:_decode_rows_grouped) and every
+    caption equals the single-device service's."""
+    from lrcn_tpu.parallel.mesh import make_mesh
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                     cnn_feature_dim=8)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    feats = {100 + i: np.abs(rng.standard_normal(
+        cfg.cnn_feature_dim)).astype(np.float32) for i in range(12)}
+    store = FeatureStore.from_dict(
+        {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    mesh = make_mesh((4, 1))
+    svc = CaptionService(cfg, params, vocab, store=store, mesh=mesh,
+                        beam_width=2, max_words=8, decode_batch=8,
+                        compute_dtype=jnp.float32)
+    single = CaptionService(cfg, params, vocab, store=store,
+                           beam_width=2, max_words=8, decode_batch=8,
+                           compute_dtype=jnp.float32)
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=16,
+                        wait_ms=2)
+    try:
+        status, out = _request(fe.port, "POST", "/v1/caption", {"id": 100})
+        assert status == 200
+        assert out["captions"] == single.caption_ids([100])
+
+        # a multi-batch burst in one request exercises the grouped
+        # scanned drain (2 compiled batches in one dispatch)
+        ids = [100 + (i % 12) for i in range(20)]
+        status, out = _request(fe.port, "POST", "/v1/caption",
+                               {"ids": ids})
+        assert status == 200
+        assert out["captions"] == single.caption_ids(ids)
+    finally:
+        fe.stop()
+        svc.close()
+        single.close()
