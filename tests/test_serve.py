@@ -620,3 +620,41 @@ def test_service_bf16_table_matches_f32_fed_search(tiny_model):
         assert served == offline
     finally:
         svc.close()
+
+
+def test_make_caption_service_from_cli_args(tiny_model, tmp_path):
+    """The serve command's service factory (everything cmd_serve does
+    before binding a port): checkpoint + flags -> a working service,
+    --mesh N -> an (N, 1) data mesh with token-exact captions, and a
+    clear refusal when neither features nor an encoder is given."""
+    from lrcn_tpu import cli
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    cfg, vocab, params = tiny_model
+    store = _make_store(cfg)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, params, vocab, cfg)
+    feats_dir = str(tmp_path / "feats")
+    store.save(feats_dir)
+
+    common = ["serve", "--loadfile", ckpt, "--features", feats_dir,
+              "--beam_width", "2", "--generate", "8",
+              "--decode-batch", "8", "--compute-dtype", "float32"]
+    svc = cli.make_caption_service(cli.build_parser().parse_args(common))
+    try:
+        base = svc.caption_ids([100, 101])
+        assert len(base) == 2 and all(isinstance(c, str) for c in base)
+    finally:
+        svc.close()
+
+    svc_mesh = cli.make_caption_service(
+        cli.build_parser().parse_args(common + ["--mesh", "4"]))
+    try:
+        assert svc_mesh.mesh.devices.shape == (4, 1)
+        assert svc_mesh.caption_ids([100, 101]) == base
+    finally:
+        svc_mesh.close()
+
+    with pytest.raises(SystemExit, match="caption by"):
+        cli.make_caption_service(
+            cli.build_parser().parse_args(["serve", "--loadfile", ckpt]))
