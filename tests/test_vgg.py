@@ -411,6 +411,11 @@ def test_decode_and_preprocess(tmp_path):
     out = preprocess(path, np.zeros((224, 224, 3), np.float32))
     assert out.shape == (1, 224, 224, 3)
 
+    # URL inputs download to a temp file first (lrcn.jl:751-754);
+    # file:// drives the branch without egress
+    np.testing.assert_array_equal(
+        decode_image("file://" + path), img)
+
 
 def test_extract_features_resumable(tmp_path, params):
     from PIL import Image
