@@ -26,7 +26,7 @@ import functools
 import os
 import tempfile
 import urllib.request
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ is the right default on current hardware.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

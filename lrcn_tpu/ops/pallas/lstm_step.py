@@ -28,11 +28,9 @@ order [forget, ingate, outgate, change], ``hcat(input, hidden) * W .+ b``).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def pallas_available() -> bool:
