@@ -79,6 +79,10 @@ def make_handler(service: CaptionService):
             self.wfile.write(body)
 
         def do_GET(self):
+            # one handler instance serves a whole keep-alive connection:
+            # reset the per-request body counter or _reply would drain
+            # against the PREVIOUS request's count and desync the stream
+            self._body_read = 0
             if self.path == "/healthz":
                 self._reply(200, {
                     "ok": True,
@@ -89,6 +93,7 @@ def make_handler(service: CaptionService):
                 self._reply(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            self._body_read = 0      # see do_GET
             if self.path != "/v1/caption":
                 self._reply(404, {"error": f"no route {self.path}"})
                 return

@@ -525,6 +525,20 @@ def test_http_keepalive_survives_unread_body_replies():
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        # a successful POST FIRST: its body count must not leak into the
+        # next request's drain arithmetic (regression: _body_read
+        # persisted across keep-alive requests, so the 404 below
+        # under-drained by the previous body's length and desynced)
+        conn.request("POST", "/v1/caption", body=json.dumps({"id": 1}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200 and json.loads(resp.read())
+        # GET after POST: stale count must not force Connection: close
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        assert resp.status == 200 and resp.getheader("Connection") != \
+            "close"
+        resp.read()
         # 404 with an unread body: server drains it, connection survives
         conn.request("POST", "/nope",
                      body=json.dumps({"pad": "y" * 2048}),
