@@ -112,6 +112,12 @@ bool read_line(const Server* sv, int fd, std::string& line,
             return true;
         }
         char tmp[4096];
+        // check BEFORE blocking again: a client trickling bytes inside
+        // each SO_RCVTIMEO window never hits the n<0 branch, so the
+        // deadline must also bound successful-read progress
+        if (deadline != nullptr &&
+            std::chrono::steady_clock::now() >= *deadline)
+            return false;
         ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
         if (n == 0) return false;                     // peer closed
         if (n < 0) {
@@ -303,6 +309,12 @@ void handle_connection(Server* sv, int fd) {
             std::chrono::milliseconds(sv->request_timeout_ms);
         while (buf.size() < content_length) {
             char tmp[65536];
+            // bound trickled uploads too (see read_line): progress that
+            // never trips SO_RCVTIMEO must still respect the deadline
+            if (std::chrono::steady_clock::now() >= body_deadline) {
+                ::close(fd);
+                return;
+            }
             ssize_t n = ::recv(fd, tmp, sizeof tmp, 0);
             if (n == 0) { ::close(fd); return; }
             if (n < 0) {

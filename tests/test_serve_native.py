@@ -486,3 +486,57 @@ def test_native_frontend_on_mesh_matches_single_device():
         fe.stop()
         svc.close()
         single.close()
+
+
+def test_native_trickling_header_connection_is_released():
+    """A client that keeps SENDING header bytes — each arriving inside
+    the SO_RCVTIMEO window, so the n<0 branch never runs — must still be
+    disconnected at the request deadline (regression: the deadline was
+    only checked on recv timeout, so an active trickler bypassed it)."""
+    import socket
+    import time
+
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                     cnn_feature_dim=8)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = lrcn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    feats = {100 + i: np.abs(rng.standard_normal(
+        cfg.cnn_feature_dim)).astype(np.float32) for i in range(4)}
+    store = FeatureStore.from_dict(
+        {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                         max_words=8, decode_batch=4,
+                         compute_dtype=jnp.float32,
+                         request_timeout_s=2.0)
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=8)
+    try:
+        s = socket.create_connection(("127.0.0.1", fe.port), timeout=30)
+        s.sendall(b"POST /v1/caption HTTP/1.1\r\nX-Slow: ")
+        s.setblocking(False)
+        t0 = time.monotonic()
+        closed = False
+        while time.monotonic() - t0 < 15:
+            try:
+                s.sendall(b"y")      # one byte well inside SO_RCVTIMEO
+            except OSError:          # server closed on us mid-send
+                closed = True
+                break
+            try:
+                if s.recv(4096) == b"":
+                    closed = True
+                    break
+            except BlockingIOError:
+                pass
+            time.sleep(0.5)
+        s.close()
+        assert closed, "trickling-header connection still held after 15s"
+        # capacity intact: a real request on a fresh connection works
+        status, out = _request(fe.port, "POST", "/v1/caption",
+                               {"id": 100})
+        assert status == 200 and out["captions"]
+    finally:
+        fe.stop()
+        svc.close()
