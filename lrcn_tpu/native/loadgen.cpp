@@ -133,13 +133,19 @@ int read_response(int fd, std::string& buf, bool* server_closes) {
 // offered load (the wrk2 contract).  sched_end_us == 0: closed loop.
 void worker(const char* host, int port, int tid, long max_id,
             int ids_per_req, long interval_us, long offset_us,
-            long sched_end_us, WorkerStats* out) {
+            long sched_end_us,
+            std::chrono::steady_clock::time_point t_start,
+            WorkerStats* out) {
     WorkerStats st;
-    st.lat_us.reserve(1 << 16);
+    st.lat_us.reserve(1024);   // grows as needed; a big up-front
+    // reserve costs ~1 GB of client RSS at 2048 connections
     int fd = dial(host, port);
     std::string buf;
     uint64_t x = 0x9E3779B97F4A7C15ull * (uint64_t)(tid + 1);
-    const auto t_start = std::chrono::steady_clock::now();
+    // t_start is the SHARED schedule epoch from main: anchoring to this
+    // thread's own start time would smear the global arrival schedule
+    // by the thread-spawn stagger (and flatter schedule-relative
+    // latency at the rated load)
     long k = 0;
     long retry_slot = -1;   // open-loop: slot being retried after a
     //                         broken stream (one retry, then errors++)
@@ -276,7 +282,7 @@ int main(int argc, char** argv) {
                                  ? (long)((double)interval_us * i /
                                           n_conns)
                                  : 0,
-                             sched_end_us, &stats[i]);
+                             sched_end_us, t0, &stats[i]);
     if (interval_us > 0) {
         // open-loop: workers exit once their schedule is exhausted AND
         // the backlog drained; the watchdog only fences a dead server

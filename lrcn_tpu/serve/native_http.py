@@ -104,6 +104,17 @@ class NativeFrontend:
         responded = 0    # items in the last responded batch: the pull's
         #                  arrival forecast (closed-loop clients
         #                  re-request as soon as they hear back)
+        def retire_oldest():
+            # finalize + respond the oldest dispatch; `current` marks it
+            # so the except block can fail ITS requests fast if the
+            # finalize blows up (not just the newly pulled ones)
+            nonlocal current, responded
+            current = pending.popleft()
+            raw, preqs, pslots = current
+            self._respond_raw(preqs, pslots, raw)
+            responded = len(preqs)
+            current = None
+
         while not self._stop.is_set():
             n = 0
             try:
@@ -116,11 +127,7 @@ class NativeFrontend:
                 # the pipeline and the knee sat at ~54% of the grouped
                 # drain rate.)
                 if len(pending) >= self._max_inflight:
-                    current = pending.popleft()
-                    raw, preqs, pslots = current
-                    self._respond_raw(preqs, pslots, raw)
-                    responded = len(preqs)
-                    current = None
+                    retire_oldest()
                 n, ids, reqs, slots = self._pull(batch_cap,
                                                  expect=responded)
                 # the forecast predicts only the refill right after a
@@ -148,11 +155,7 @@ class NativeFrontend:
                 elif pending:
                     # nothing arrived inside the wait window: retire one
                     # dispatch (keeps latency bounded when load stops)
-                    current = pending.popleft()
-                    raw, preqs, pslots = current
-                    self._respond_raw(preqs, pslots, raw)
-                    responded = len(preqs)
-                    current = None
+                    retire_oldest()
             except Exception as e:   # noqa: BLE001 — the pump must
                 # outlive ANY batch failure: fail the affected requests
                 # (the C++ side 504s anything we lose track of) and keep

@@ -109,14 +109,16 @@ class CaptionService:
             table_dtype = (jnp.bfloat16
                            if jnp.dtype(compute_dtype) == jnp.bfloat16
                            else jnp.float32)
-            dev_table = jnp.asarray(
-                np.asarray(table, np.float32).astype(table_dtype,
-                                                     copy=False))
+            host_table = np.asarray(table, np.float32).astype(
+                table_dtype, copy=False)
             if mesh is not None:
+                # host -> replicated directly (a default-device commit
+                # first would copy the whole table an extra time)
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                dev_table = jax.device_put(
-                    dev_table, NamedSharding(mesh, P()))
-            self._table = dev_table
+                self._table = jax.device_put(
+                    host_table, NamedSharding(mesh, P()))
+            else:
+                self._table = jnp.asarray(host_table)
             # burst absorption: a backlog coalesces into up to
             # MAX_DECODE_GROUPS compiled batches drained in ONE scanned
             # dispatch (2.0x drain rate vs per-batch, BENCH_DETAIL.md)
@@ -230,11 +232,13 @@ class CaptionService:
         n = len(rows)
         idx = np.zeros((self.decode_batch,), np.int32)
         idx[:n] = rows
-        dev_idx = jnp.asarray(idx)
         if self.mesh is not None:
+            # host -> sharded directly (no default-device hop)
             from jax.sharding import NamedSharding, PartitionSpec as P
             dev_idx = jax.device_put(
-                dev_idx, NamedSharding(self.mesh, P("data")))
+                idx, NamedSharding(self.mesh, P("data")))
+        else:
+            dev_idx = jnp.asarray(idx)
         tokens, _ = _rows_search(
             self.params, self._table, dev_idx,
             beam_width=self.beam_width, max_words=self.max_words,
@@ -252,11 +256,13 @@ class CaptionService:
         pad = self._encode.max_batch
         batch = np.zeros((pad, 224, 224, 3), np.uint8)
         batch[:n] = np.asarray(images, np.uint8)
-        dev_batch = jnp.asarray(batch)
         if self.mesh is not None:   # batch-shard the encoder over chips
+            # host -> sharded directly (no default-device hop)
             from jax.sharding import NamedSharding, PartitionSpec as P
             dev_batch = jax.device_put(
-                dev_batch, NamedSharding(self.mesh, P("data")))
+                batch, NamedSharding(self.mesh, P("data")))
+        else:
+            dev_batch = jnp.asarray(batch)
         pixels = normalize_batch(dev_batch,
                                  jnp.asarray(self.average_image))
         feats = l1_dev(vgg16_fc7(self.vgg_params, pixels,
