@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="lrcn",
         description="LRCN image captioning, TPU-native "
                     "(reference surface: lrcn.jl:30-55)")
+    parser.add_argument("--platform", default=None,
+                        help="force the JAX backend (cpu/tpu) before any "
+                             "device work — wins over environments that "
+                             "preset JAX_PLATFORMS (the reference's "
+                             "--atype flag, lrcn.jl:61, picked the device "
+                             "the same way)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("train", help="train the caption decoder")
@@ -368,6 +374,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--request-timeout", type=float, default=60.0,
                    help="seconds a request may wait on the device "
                         "before HTTP 504")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+
+    p = sub.add_parser("export",
+                       help="freeze a checkpoint into self-contained "
+                            "StableHLO decode programs (jax.export; "
+                            "deployable without this framework's code)")
+    p.add_argument("--loadfile", required=True)
+    p.add_argument("--out", required=True, help="export directory")
+    p.add_argument("--variants", default="beam",
+                   help="comma list of beam,greedy,sample,image "
+                        "(image = uint8 pixels -> captions; needs a "
+                        "joint checkpoint or --cnn)")
+    p.add_argument("--cnn", dest="vgg_model",
+                   help="MatConvNet .mat encoder for the image variant "
+                        "(optional when --loadfile is a joint checkpoint)")
+    p.add_argument("--beam_width", type=int, default=3)
+    p.add_argument("--generate", type=int, default=30, dest="max_words")
+    p.add_argument("--sample-n", type=int, default=100,
+                   help="draws per image for the sample variant "
+                        "(paper: sample 100)")
+    p.add_argument("--temperature", type=float, default=2.0)
+    p.add_argument("--batch", type=int, default=None,
+                   help="pin the batch dimension (default: symbolic — "
+                        "one artifact serves any batch size)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma list of lowering platforms")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     return parser
@@ -1025,8 +1058,45 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    import jax.numpy as jnp
+
+    from lrcn_tpu.export import save_exported
+    from lrcn_tpu.models.vgg import load_matconvnet
+
+    variants = tuple(v.strip() for v in args.variants.split(",") if v.strip())
+    unknown = set(variants) - {"beam", "greedy", "sample", "image"}
+    if unknown:
+        raise SystemExit(f"lrcn export: unknown variants {sorted(unknown)}")
+    params, vocab, _cfg = _load_model(args.loadfile)
+    vgg_params = avg = None
+    if "image" in variants:
+        vgg_params, avg = _joint_encoder(args.loadfile)
+        if args.vgg_model:      # an explicit --cnn wins over the checkpoint
+            vgg_params, avg = load_matconvnet(args.vgg_model)
+        elif vgg_params is None:
+            raise SystemExit("lrcn export: the image variant needs an "
+                             "encoder — pass --cnn or a joint --loadfile")
+    manifest = save_exported(
+        args.out, params, vocab, variants=variants,
+        beam_width=args.beam_width, max_words=args.max_words,
+        sample_n=args.sample_n, temperature=args.temperature,
+        compute_dtype=jnp.dtype(args.compute_dtype), batch=args.batch,
+        platforms=tuple(p.strip() for p in args.platforms.split(",")
+                        if p.strip()),
+        vgg_params=vgg_params, average_image=avg)
+    print(f"exported {sorted(manifest['variants'])} for "
+          f"{manifest['platforms']} to {args.out}")
+    return 0
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        # the config flag wins over JAX_PLATFORMS presets (handlers
+        # import jax lazily, so no backend has initialized yet)
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     handlers = {
         "train": cmd_train,
         "generate": cmd_generate,
@@ -1037,6 +1107,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         "import-karpathy": cmd_import_karpathy,
         "download": cmd_download,
         "serve": cmd_serve,
+        "export": cmd_export,
     }
     return handlers[args.command](args)
 
