@@ -46,6 +46,19 @@ def make_handler(service: CaptionService):
         # 1.1 framing is always valid.
         protocol_version = "HTTP/1.1"
 
+        # No HTTP/0.9: the stdlib answers 2-word request lines (and
+        # some parse errors) with a RAW body — no status line — which
+        # desyncs any modern client.  Defaulting the version to 1.1
+        # makes every response framed; nothing has spoken 0.9 since
+        # 1996.
+        default_request_version = "HTTP/1.1"
+
+        # A stalled client must not pin a connection thread forever
+        # (the native server bounds this with SO_RCVTIMEO + a request
+        # deadline); reads that exceed the service's request timeout
+        # raise, get a framed error, and close the connection.
+        timeout = getattr(service, "request_timeout_s", 60.0) + 5.0
+
         # quiet default request logging; metrics live in /stats
         def log_message(self, fmt, *args):   # noqa: ARG002
             pass
@@ -99,6 +112,11 @@ def make_handler(service: CaptionService):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length < 0:
+                    # rfile.read(-1) would read to EOF: a connection
+                    # thread pinned until the client deigns to close
+                    self._reply(400, {"error": "negative Content-Length"})
+                    return
                 if length > MAX_BODY_BYTES:
                     self._reply(413, {"error": f"body {length} B exceeds "
                                                f"{MAX_BODY_BYTES} B"})

@@ -1,18 +1,21 @@
-"""Fuzz the native C++ HTTP parser.
+"""Fuzz BOTH HTTP front-ends.
 
-The hand-rolled parser runs in detached threads where any uncaught
-path is process-fatal (three such bugs were found by review in round
-3: uncaught stoll/stoul on malformed numbers).  The regression tests
-replay those exact payloads; this sweep covers the input space:
-mutated request lines, header garbage, hostile Content-Length values,
-truncated bodies, pipelined requests, and raw binary noise — 10k+
-deterministic-seeded requests against a live ``NativeFrontend``.
+The native (C++) hand-rolled parser runs in detached threads where any
+uncaught path is process-fatal (three such bugs were found by review in
+round 3: uncaught stoll/stoul on malformed numbers).  The pure-Python
+server rides the stdlib parser but adds its own framing discipline
+(keep-alive body drains, HTTP/0.9 refusal, Content-Length validation).
+The regression tests replay specific crash payloads; this sweep covers
+the input space: mutated request lines, header garbage, hostile
+Content-Length values, truncated bodies, pipelined requests, and raw
+binary noise — thousands of deterministic-seeded requests against each
+live server.
 
-Invariants asserted:
-- the server process survives everything (a /healthz probe passes
-  between phases and at the end);
+Invariants asserted, identically for both:
+- the server survives everything (a /healthz probe passes at the end);
 - every byte stream the server sends back parses as HTTP/1.1 with a
-  3-digit status code (no half-written or desynced responses);
+  3-digit status code (no half-written, unframed, or desynced
+  responses);
 - well-formed requests interleaved with the garbage still serve.
 """
 
@@ -32,17 +35,16 @@ from lrcn_tpu.models import lrcn
 from lrcn_tpu.native import httpserve_library
 from lrcn_tpu.serve import CaptionService
 
-pytestmark = pytest.mark.skipif(httpserve_library() is None,
-                                reason="native httpserve unavailable")
-
 N_REQUESTS = 10000
 N_CLIENTS = 16
+# the Python server burns a GIL-bound thread per connection; a smaller
+# deterministic sweep keeps the suite's wall clock sane while covering
+# every mutation class (seeds differ per client, classes are uniform)
+N_REQUESTS_PY = 3000
+N_CLIENTS_PY = 8
 
 
-@pytest.fixture(scope="module")
-def frontend():
-    from lrcn_tpu.serve.native_http import NativeFrontend
-
+def _tiny_service() -> CaptionService:
     cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
                      cnn_feature_dim=8)
     vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
@@ -57,10 +59,33 @@ def frontend():
                          compute_dtype=jnp.float32,
                          request_timeout_s=10.0)
     svc.warmup()
+    return svc
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    if httpserve_library() is None:
+        pytest.skip("native httpserve unavailable")
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    svc = _tiny_service()
     fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=64,
                         wait_ms=2)
     yield fe, svc
     fe.stop()
+    svc.close()
+
+
+@pytest.fixture(scope="module")
+def python_server():
+    from lrcn_tpu.serve.http import make_server
+
+    svc = _tiny_service()
+    server = make_server(svc, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield server.server_address[1], svc
+    server.shutdown()
     svc.close()
 
 
@@ -181,15 +206,16 @@ def _valid_http(stream: bytes) -> bool:
     return True
 
 
-def test_native_http_fuzz(frontend):
-    fe, svc = frontend
-    port = fe.port
+def _fuzz_sweep(port: int, n_requests: int, n_clients: int,
+                seed_base: int = 1000) -> None:
+    """Run the deterministic hostile sweep + the post-sweep liveness
+    checks against whatever HTTP server listens on ``port``."""
     failures: list = []
-    done = [0] * N_CLIENTS
+    done = [0] * n_clients
 
     def client(ci: int) -> None:
-        rng = np.random.default_rng(1000 + ci)
-        per = N_REQUESTS // N_CLIENTS
+        rng = np.random.default_rng(seed_base + ci)
+        per = n_requests // n_clients
         for i in range(per):
             payload, close_now = _mutate(rng)
             try:
@@ -228,16 +254,16 @@ def test_native_http_fuzz(frontend):
             done[ci] = i + 1
 
     threads = [threading.Thread(target=client, args=(ci,))
-               for ci in range(N_CLIENTS)]
+               for ci in range(n_clients)]
     for t in threads:
         t.start()
     for t in threads:
         t.join(timeout=300)
     assert not any(t.is_alive() for t in threads), "fuzz client hung"
     assert not failures, failures[:5]
-    assert sum(done) >= N_REQUESTS - N_CLIENTS  # nobody bailed early
+    assert sum(done) >= n_requests - n_clients  # nobody bailed early
 
-    # the process survived 10k hostile requests and still serves
+    # the process survived the hostile sweep and still serves
     _probe_health(port)
     import http.client
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
@@ -249,3 +275,13 @@ def test_native_http_fuzz(frontend):
         assert resp.status == 200 and len(out["captions"]) == 1
     finally:
         conn.close()
+
+
+def test_native_http_fuzz(frontend):
+    fe, _svc = frontend
+    _fuzz_sweep(fe.port, N_REQUESTS, N_CLIENTS)
+
+
+def test_python_http_fuzz(python_server):
+    port, _svc = python_server
+    _fuzz_sweep(port, N_REQUESTS_PY, N_CLIENTS_PY, seed_base=2000)
