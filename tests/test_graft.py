@@ -16,6 +16,32 @@ def test_dryrun_multichip_various_counts():
         sys.path.pop(0)
 
 
+def test_count_devices_survives_hanging_backend(monkeypatch):
+    """A wedged device tunnel can HANG jax.devices() rather than raise
+    (observed live in round 4); the dryrun's device probe must degrade
+    to 0 within its bound so the virtual-CPU child path proceeds."""
+    import threading
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as graft
+
+        release = threading.Event()
+
+        def hang():
+            release.wait(30.0)  # unblock the daemon thread at test end
+            return []
+
+        monkeypatch.setattr(graft.jax, "devices", hang)
+        t0 = time.monotonic()
+        assert graft._count_devices(timeout_s=1.0) == 0
+        assert time.monotonic() - t0 < 5.0
+        release.set()
+    finally:
+        sys.path.pop(0)
+
+
 def test_entry_shapes():
     sys.path.insert(0, "/root/repo")
     try:
