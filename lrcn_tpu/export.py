@@ -24,6 +24,23 @@ Artifacts (one directory):
 
 Round-trip loading lives here too (``load_exported``) so the CLI and the
 tests exercise the exact consumer path.
+
+Exactness contract (measured, real v5e chip, flagship scale): the CPU
+lowering reproduces the live ``beam_search`` bit for bit (pinned in
+tests/test_export.py).  The TPU lowering embeds the parameters as
+constants, which lets XLA fold/layout the weights differently than the
+live parameter-fed program; with RANDOM weights (every hypothesis tied
+at the same score) this flipped 6/5632 token positions (0.107%), all on
+beams whose final scores agree to |Δ| ≤ 1.6e-3 in a ~190-unit total —
+i.e. genuine bf16 near-ties where either caption is equally ranked.
+Scores match to ~1e-5 relative everywhere; trained models separate
+captions by whole log-prob units, so practical flips need true ties.
+Pinning ``batch`` does not change this (measured — it is the constant
+folding, not the symbolic dimension).  Artifact scale: flagship
+(vocab 8800, hidden 1000×2) beam.hlo = 144.6 MB, ~65 s to export, and
+decodes 19,974 captions/s per-call on one v5e chip with device-resident
+inputs — faster than the live per-batch path (16.5k/s), since the
+constant-embedded params are never re-fed.
 """
 
 from __future__ import annotations
