@@ -147,8 +147,11 @@ def httpserve_library() -> ctypes.CDLL | None:
         lib.lrcn_serve_next.restype = ctypes.c_int
         lib.lrcn_serve_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
-            ctypes.POINTER(LL), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(LL), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int]
+        lib.lrcn_serve_set_feature_dim.argtypes = [
+            ctypes.c_void_p, ctypes.c_int]
         lib.lrcn_serve_respond.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]

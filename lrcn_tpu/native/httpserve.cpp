@@ -10,12 +10,16 @@
 // per coalesced BATCH: it pulls up to max_n (id, request) pairs, runs the
 // batched on-device beam search, and pushes caption strings back.
 //
-// Scope: the production hot path, caption-by-id —
+// Scope: the production hot paths —
 //   POST /v1/caption  {"id": N} | {"ids": [N, ...]}   (integers only)
+//   POST /v1/caption  {"features": [[f, ...], ...]}   raw fc7 rows
+//                     (enabled once the pump registers the feature dim
+//                     via lrcn_serve_set_feature_dim; rows are parsed
+//                     in C++ and travel the queue as float payloads)
 //   GET  /healthz, GET /stats                         (answered in C++)
-// Raw-feature / base64-image bodies return 501 pointing at the Python
-// server (lrcn serve without --native-frontend), which shares the same
-// request surface.
+// Base64-image bodies return 501 pointing at the Python server (lrcn
+// serve without --native-frontend), which shares the same request
+// surface.
 //
 // Threading: one acceptor + a fixed pool of connection threads (blocking
 // reads, HTTP keep-alive). A connection thread parses a request, enqueues
@@ -33,8 +37,10 @@
 #include <cctype>
 #include <chrono>
 #include <condition_variable>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -64,6 +70,11 @@ struct Item {
     long long id;
     long long serial;
     size_t slot;
+    // Raw-feature requests: one fc7 row (feat_dim floats), owned by the
+    // item itself (shared_ptr, NOT a pointer into the Request — same
+    // lifetime rule as the serial above).  Null for id items.  Worst
+    // case memory: max_queue * feat_dim * 4 B (64 MB at 4096 x 4096).
+    std::shared_ptr<std::vector<float>> feat;
 };
 
 struct Server {
@@ -83,9 +94,13 @@ struct Server {
 
     // stats
     std::atomic<long long> requests{0}, items{0}, batches{0}, shed{0},
-        errors{0};
+        errors{0}, feat_items{0};
 
     int request_timeout_ms = 60000;   // condvar wait bound -> 504
+
+    // fc7 row width for {"features": [[...], ...]} bodies; 0 (unset)
+    // keeps the pre-round-4 behavior (501 -> the Python server)
+    std::atomic<int> feat_dim{0};
 
     // token id -> word, registered once by the pump (set_vocab) so
     // responses can be built from RAW device tokens without Python
@@ -243,6 +258,93 @@ bool parse_ids(const std::string& body, std::vector<long long>& ids,
     return true;
 }
 
+// strict parse of {"features": [[f, ...], ...]} — rows of exactly `dim`
+// JSON numbers (strtod grammar).  On failure fills `err` and returns
+// false (caller responds 400).  Exception-free like parse_ids: this
+// runs in a detached connection thread.
+bool parse_features(const std::string& body,
+                    std::vector<std::shared_ptr<std::vector<float>>>& rows,
+                    int dim, std::string& err) {
+    size_t i = 0;
+    auto skip_ws = [&] { while (i < body.size() &&
+        (body[i] == ' ' || body[i] == '\t' || body[i] == '\n' ||
+         body[i] == '\r')) i++; };
+    skip_ws();
+    if (i >= body.size() || body[i] != '{') { err = "not an object";
+                                              return false; }
+    i++;
+    skip_ws();
+    if (body.compare(i, 10, "\"features\"") != 0) {
+        err = "body needs features";
+        return false;
+    }
+    i += 10;
+    skip_ws();
+    if (i >= body.size() || body[i] != ':') { err = "bad features";
+                                              return false; }
+    i++;
+    skip_ws();
+    if (i >= body.size() || body[i] != '[') {
+        err = "features must be a list of rows";
+        return false;
+    }
+    i++;
+    skip_ws();
+    if (i < body.size() && body[i] == ']') { i++; }
+    else for (;;) {                                   // one row per loop
+        skip_ws();
+        if (i >= body.size() || body[i] != '[') {
+            err = "features must be a list of rows (lists of numbers)";
+            return false;
+        }
+        i++;
+        auto row = std::make_shared<std::vector<float>>();
+        row->reserve((size_t)dim);
+        skip_ws();
+        if (i < body.size() && body[i] == ']') { i++; }
+        else for (;;) {                               // one number
+            skip_ws();
+            // strtod is safe here: body.c_str() is NUL-terminated, so
+            // the scan cannot run past the buffer
+            const char* start = body.c_str() + i;
+            char* end = nullptr;
+            double v = std::strtod(start, &end);
+            if (end == start) { err = "bad number in features row";
+                                return false; }
+            i += (size_t)(end - start);
+            if ((int)row->size() >= dim) {
+                err = "feature row has more than " +
+                      std::to_string(dim) + " dims";
+                return false;
+            }
+            row->push_back((float)v);
+            skip_ws();
+            if (i < body.size() && body[i] == ',') { i++; continue; }
+            if (i < body.size() && body[i] == ']') { i++; break; }
+            err = "bad features row";
+            return false;
+        }
+        if ((int)row->size() != dim) {
+            err = "feature row has " + std::to_string(row->size()) +
+                  " dims, model expects " + std::to_string(dim);
+            return false;
+        }
+        rows.push_back(std::move(row));
+        skip_ws();
+        if (i < body.size() && body[i] == ',') { i++; continue; }
+        if (i < body.size() && body[i] == ']') { i++; break; }
+        err = "bad features list";
+        return false;
+    }
+    skip_ws();
+    if (i >= body.size() || body[i] != '}') { err = "trailing content";
+                                              return false; }
+    i++;
+    skip_ws();
+    if (i != body.size()) { err = "trailing content"; return false; }
+    return rows.size() > 0 || (err = "features is empty", false);
+}
+
 void handle_connection(Server* sv, int fd) {
     // bounded reads: idle keep-alive connections wake periodically and
     // re-check the stopping flag instead of blocking in recv forever
@@ -354,6 +456,8 @@ void handle_connection(Server* sv, int fd) {
                 std::to_string(b ? double(it) / b : 0.0) +
                 ", \"queue\": " + std::to_string(qd) +
                 ", \"shed\": " + std::to_string(sv->shed.load()) +
+                ", \"feat_items\": " +
+                std::to_string(sv->feat_items.load()) +
                 ", \"errors\": " + std::to_string(sv->errors.load()) + "}";
             respond(fd, 200, s, keep_alive);
             continue;
@@ -364,18 +468,33 @@ void handle_connection(Server* sv, int fd) {
         }
         sv->requests.fetch_add(1);
         std::vector<long long> ids;
+        std::vector<std::shared_ptr<std::vector<float>>> feat_rows;
         bool unsupported = false;
         if (!parse_ids(body, ids, unsupported) || ids.empty()) {
-            sv->errors.fetch_add(1);
-            if (unsupported)
+            bool is_feats = body.find("\"features\"") != std::string::npos;
+            int dim = sv->feat_dim.load();
+            if (is_feats && dim > 0) {
+                std::string err;
+                if (!parse_features(body, feat_rows, dim, err)) {
+                    sv->errors.fetch_add(1);
+                    respond(fd, 400, "{\"error\": \"" +
+                            json_escape(err) + "\"}", keep_alive);
+                    continue;
+                }
+                ids.assign(feat_rows.size(), -1);   // slot count only
+            } else if (unsupported || (is_feats && dim == 0)) {
+                sv->errors.fetch_add(1);
                 respond(fd, 501,
-                        "{\"error\": \"native frontend serves id "
-                        "requests; use the python server for features/"
+                        "{\"error\": \"native frontend serves id/"
+                        "feature requests; use the python server for "
                         "images\"}", keep_alive);
-            else
+                continue;
+            } else {
+                sv->errors.fetch_add(1);
                 respond(fd, 400, "{\"error\": \"body needs id or ids "
-                        "(integers)\"}", keep_alive);
-            continue;
+                        "(integers) or features (rows)\"}", keep_alive);
+                continue;
+            }
         }
 
         Request req;
@@ -398,8 +517,12 @@ void handle_connection(Server* sv, int fd) {
                 continue;
             }
             for (size_t s = 0; s < req.ids.size(); s++)
-                sv->queue.push_back(Item{req.ids[s], req.serial, s});
+                sv->queue.push_back(Item{
+                    req.ids[s], req.serial, s,
+                    s < feat_rows.size() ? feat_rows[s] : nullptr});
         }
+        if (!feat_rows.empty())
+            sv->feat_items.fetch_add((long long)feat_rows.size());
         sv->qcv.notify_all();
 
         bool timed_out = false;
@@ -536,11 +659,19 @@ int lrcn_serve_port(void* h) { return ((Server*)h)->port; }
 // partial one is bounded by fill_ms.  min_n <= 0 (no forecast — e.g.
 // pump startup, or nothing was responded since the last pull) skips
 // the window entirely and drains whatever is queued.
+// `feats` (capacity max_n * feat_dim floats) and `isfeat` (max_n
+// flags) receive raw-feature items: item i with isfeat[i] != 0 has its
+// fc7 row at feats + i * feat_dim and ids[i] == -1.  Callers that pass
+// feats == nullptr (pre-feature pumps, unit tests) get feature items
+// failed with 500 rather than silently mis-typed.
 int lrcn_serve_next(void* h, long long* ids, long long* reqs,
-                    long long* slots, int max_n, int wait_ms,
+                    long long* slots, float* feats,
+                    unsigned char* isfeat, int max_n, int wait_ms,
                     int fill_ms, int min_n) {
     auto* sv = (Server*)h;
     if (min_n > max_n) min_n = max_n;
+    int dim = sv->feat_dim.load();
+    std::vector<long long> orphaned;   // feat items with no consumer
     std::unique_lock<std::mutex> lk(sv->qmu);
     if (sv->queue.empty()) {
         sv->qcv.wait_for(lk, std::chrono::milliseconds(wait_ms), [&] {
@@ -560,18 +691,47 @@ int lrcn_serve_next(void* h, long long* ids, long long* reqs,
     }
     int n = 0;
     while (n < max_n && !sv->queue.empty()) {
-        Item it = sv->queue.front();
+        Item it = std::move(sv->queue.front());
         sv->queue.pop_front();
-        ids[n] = it.id;
+        if (it.feat) {
+            if (feats == nullptr || dim <= 0) {
+                orphaned.push_back(it.serial);
+                continue;
+            }
+            std::memcpy(feats + (size_t)n * dim, it.feat->data(),
+                        (size_t)dim * sizeof(float));
+            if (isfeat) isfeat[n] = 1;
+            ids[n] = -1;
+        } else {
+            if (isfeat) isfeat[n] = 0;
+            ids[n] = it.id;
+        }
         reqs[n] = it.serial;
         slots[n] = (long long)it.slot;
         n++;
+    }
+    lk.unlock();   // live_mu below must never nest inside qmu
+    for (long long serial : orphaned) {
+        std::lock_guard<std::mutex> live(sv->live_mu);
+        auto li = sv->live.find(serial);
+        if (li == sv->live.end()) continue;
+        Request* r = li->second;
+        std::lock_guard<std::mutex> rl(r->mu);
+        r->error_status = 500;
+        r->error_msg = "no feature consumer";
+        r->cv.notify_all();
     }
     if (n) {
         sv->items.fetch_add(n);
         sv->batches.fetch_add(1);
     }
     return n;
+}
+
+// Register the fc7 row width; enables {"features": [[...], ...]}
+// bodies (0 = disabled, the pre-registration default).
+void lrcn_serve_set_feature_dim(void* h, int dim) {
+    ((Server*)h)->feat_dim.store(dim > 0 ? dim : 0);
 }
 
 void fill_slot(Server* sv, long long serial, long long slot,

@@ -11,7 +11,9 @@ rows, issues the batched on-device beam search, and pushes caption
 strings back.  Dispatch N+1 issues while batch N's tokens transfer
 back (same pipelining as serve/batcher.py).
 
-Scope: the caption-by-id hot path plus /healthz and /stats; feature /
+Scope: caption-by-id (int32 row indices against the HBM-resident
+table) and raw fc7 features (parsed to float rows in C++, decoded via
+the grouped scanned feature dispatch) plus /healthz and /stats;
 base64-image requests get a 501 pointing at the Python server (`lrcn
 serve` without ``--native-frontend``), which shares the same endpoint
 contract.
@@ -23,6 +25,8 @@ import ctypes
 import threading
 from collections import deque
 
+import numpy as np
+
 from lrcn_tpu.native import httpserve_library
 from lrcn_tpu.serve.service import CaptionService
 
@@ -32,19 +36,16 @@ _LL = ctypes.c_longlong
 class NativeFrontend:
     """Bind the C++ HTTP server to a ``CaptionService``'s decode path.
 
-    Requires the service's HBM-resident feature table (the id fast
-    path: the device feed is int32-only end to end).
+    Caption-by-id needs the service's HBM-resident feature table (the
+    id fast path: the device feed is int32-only end to end); without a
+    table (a features-only, external-encoder deployment) id requests
+    get a 400 and feature requests still serve.
     """
 
     def __init__(self, service: CaptionService, host: str = "0.0.0.0",
                  port: int = 8000, n_threads: int = 128,
                  max_queue: int = 4096, wait_ms: int = 3,
                  max_inflight: int = 2, fill_ms: int = 20):
-        if service._table is None:
-            raise RuntimeError(
-                "native frontend needs the HBM-resident feature table "
-                "(a non-empty store with resident_store=True) — "
-                "caption-by-id is its fast path")
         lib = httpserve_library()
         if lib is None:
             raise RuntimeError("native httpserve library unavailable "
@@ -72,10 +73,15 @@ class NativeFrontend:
                  for i in range(len(service.vocab))]
         lib.lrcn_serve_set_vocab(
             self._h, (ctypes.c_char_p * len(words))(*words), len(words))
+        # enable {"features": [[...], ...]} bodies: C++ parses rows of
+        # exactly this many floats and ships them through the queue
+        self._feat_dim = int(service.cfg.cnn_feature_dim)
+        lib.lrcn_serve_set_feature_dim(self._h, self._feat_dim)
         # pre-compile every burst shape so traffic never recompiles
         # (grouped drain works under a mesh too: groups scan, each
         # batch shards along 'data'); no-op if warmup() already ran
         service.warmup_burst_shapes()
+        service.warmup_feature_burst_shapes()
         self._stop = threading.Event()
         self._pump = threading.Thread(target=self._run, name="lrcn-pump",
                                       daemon=True)
@@ -87,10 +93,13 @@ class NativeFrontend:
         ids = (_LL * max_n)()
         reqs = (_LL * max_n)()
         slots = (_LL * max_n)()
-        n = self._lib.lrcn_serve_next(self._h, ids, reqs, slots, max_n,
-                                      self._wait_ms, self._fill_ms,
-                                      expect)
-        return n, ids, reqs, slots
+        feats = np.empty((max_n, self._feat_dim), np.float32)
+        isfeat = (ctypes.c_ubyte * max_n)()
+        n = self._lib.lrcn_serve_next(
+            self._h, ids, reqs, slots,
+            feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            isfeat, max_n, self._wait_ms, self._fill_ms, expect)
+        return n, ids, reqs, slots, feats, isfeat
 
     def _run(self) -> None:
         svc = self.service
@@ -128,30 +137,50 @@ class NativeFrontend:
                 # drain rate.)
                 if len(pending) >= self._max_inflight:
                     retire_oldest()
-                n, ids, reqs, slots = self._pull(batch_cap,
-                                                 expect=responded)
+                n, ids, reqs, slots, feats, isfeat = self._pull(
+                    batch_cap, expect=responded)
                 # the forecast predicts only the refill right after a
                 # respond — consume it so a stale large value can't
                 # force full fill-window waits once load drops (the
                 # next respond sets a fresh one)
                 responded = 0
                 if n:
-                    batch_ids = [int(ids[i]) for i in range(n)]
-                    unknown = set(store.missing(batch_ids))
-                    keep = [i for i in range(n)
-                            if batch_ids[i] not in unknown]
-                    for i in range(n):
-                        if batch_ids[i] in unknown:
+                    id_idx = [i for i in range(n) if not isfeat[i]]
+                    feat_idx = [i for i in range(n) if isfeat[i]]
+                    if id_idx and (store is None or svc._table is None):
+                        # features-only deployment: ids have no resident
+                        # table to resolve against
+                        for i in id_idx:
                             self._lib.lrcn_serve_error(
                                 self._h, reqs[i], 400,
-                                f"unknown image id {batch_ids[i]}"
-                                .encode())
+                                b"caption-by-id needs a feature store "
+                                b"(features-only deployment)")
+                        id_idx = []
+                    keep = []
+                    if id_idx:
+                        batch_ids = [int(ids[i]) for i in id_idx]
+                        unknown = set(store.missing(batch_ids))
+                        for i, bid in zip(id_idx, batch_ids):
+                            if bid in unknown:
+                                self._lib.lrcn_serve_error(
+                                    self._h, reqs[i], 400,
+                                    f"unknown image id {bid}".encode())
+                            else:
+                                keep.append(i)
                     if keep:
-                        rows = store.rows([batch_ids[i] for i in keep])
+                        rows = store.rows([int(ids[i]) for i in keep])
                         rows = [int(r) for r in rows]
                         raw = svc._decode_rows_grouped(rows)  # issue only
                         pending.append((raw, [reqs[i] for i in keep],
                                         [slots[i] for i in keep]))
+                    if feat_idx:
+                        # raw fc7 rows: normalized + decoded through the
+                        # grouped scanned feature dispatch (its own
+                        # dispatch — row items gather from the resident
+                        # table inside the program, feature rows upload)
+                        raw = svc._decode_feats_grouped(feats[feat_idx])
+                        pending.append((raw, [reqs[i] for i in feat_idx],
+                                        [slots[i] for i in feat_idx]))
                 elif pending:
                     # nothing arrived inside the wait window: retire one
                     # dispatch (keeps latency bounded when load stops)

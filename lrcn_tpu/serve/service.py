@@ -222,6 +222,61 @@ class CaptionService:
         tokens.copy_to_host_async()
         return n, tokens
 
+    def _decode_feats_grouped(self, rows: np.ndarray):
+        """ISSUE up to MAX_DECODE_GROUPS batches of raw-feature decodes
+        in ONE scanned dispatch (the native front-end's feature path —
+        burst absorption for external-encoder deployments, mirroring
+        ``_decode_rows_grouped`` for ids).
+
+        Rows are L1-normalized here, exactly like ``caption_features``
+        (the reference's live path, lrcn.jl:597); pre-normalized rows
+        re-normalize to themselves."""
+        from lrcn_tpu.decode.beam import beam_search_scan, \
+            greedy_search_scan
+
+        rows = l1_normalize(np.asarray(rows, np.float32))
+        n = len(rows)
+        b = self.decode_batch
+        g = max(1, -(-n // b))
+        assert g <= self.MAX_DECODE_GROUPS
+        if g == 1:
+            return self._decode_fn(list(rows))
+        batch = np.zeros((g, b, rows.shape[-1]), np.float32)
+        batch.reshape(-1, rows.shape[-1])[:n] = rows
+        if self.compute_dtype == jnp.bfloat16 and self.mesh is None:
+            # bit-identical (the search casts to bf16 first), half the
+            # upload — same rule as _decode_fn
+            batch = batch.astype(jnp.bfloat16)
+        if self.mesh is not None:
+            # host -> sharded directly (no default-device hop); the
+            # scan is over groups, each batch shards along 'data'
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dev = jax.device_put(
+                batch, NamedSharding(self.mesh, P(None, "data")))
+        else:
+            dev = jnp.asarray(batch)
+        search = (greedy_search_scan if self.beam_width == 1
+                  else beam_search_scan)
+        kwargs = {} if self.beam_width == 1 else {
+            "beam_width": self.beam_width}
+        tokens, _ = search(self.params, dev, max_words=self.max_words,
+                           compute_dtype=self.compute_dtype, **kwargs)
+        tokens.copy_to_host_async()     # overlap the RTT (see grouped)
+        return n, tokens
+
+    def warmup_feature_burst_shapes(self) -> None:
+        """Compile every grouped raw-feature burst shape (g=1..MAX) so
+        native-front-end feature traffic never recompiles.  Idempotent;
+        called by the native front-end at startup."""
+        if getattr(self, "_feat_burst_warm", False):
+            return
+        dim = self.cfg.cnn_feature_dim
+        for g in range(1, self.MAX_DECODE_GROUPS + 1):
+            rows = np.ones((self.decode_batch * (g - 1) + 1, dim),
+                           np.float32)
+            self._decode_finalize(self._decode_feats_grouped(rows))
+        self._feat_burst_warm = True
+
     def _decode_rows_fn(self, rows: list[int]):
         """ISSUE a beam dispatch over HBM-resident table rows.
 
@@ -378,7 +433,10 @@ class CaptionService:
             return
         if getattr(self, "_burst_warm", False):
             return
-        for g in range(2, self.MAX_DECODE_GROUPS + 1):
+        # g=1 included: the native front-end calls this at startup
+        # WITHOUT a prior warmup(), and its first id request must not
+        # pay the single-batch rows compile inside the request timeout
+        for g in range(1, self.MAX_DECODE_GROUPS + 1):
             self._decode_finalize(self._decode_rows_grouped(
                 [0] * (self.decode_batch * (g - 1) + 1)))
         self._burst_warm = True

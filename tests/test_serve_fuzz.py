@@ -111,7 +111,18 @@ HEADER_VALUES = [b"keep-alive", b"close", b"chunked", b"100-continue",
 BODIES = [b'{"id": 100}', b'{"id": -}', b'{"ids": [100,101]}', b"{",
           b"[]", b'{"id": null}', b'{"id": "100"}', b"\x00" * 64,
           b'{"ids": ' + b"[" * 200 + b"]" * 200 + b"}",
-          b'{"id": 100, "id": 101}', b'"' + b"a" * 10000 + b'"']
+          b'{"id": 100, "id": 101}', b'"' + b"a" * 10000 + b'"',
+          # hostile feature bodies (the C++ float parser's input space)
+          b'{"features": [[0.1, 0.2]]}',                     # wrong dim
+          b'{"features": [[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8]]}',  # valid
+          b'{"features": [[1e400,-1e400,nan,inf,.5,5.,0e0,8]]}',
+          b'{"features": ' + b"[" * 300 + b"]" * 300 + b"}",
+          b'{"features": [[0.1][0.2]]}', b'{"features": "abc"}',
+          b'{"features": [[]]}', b'{"features": [[-,]]}',
+          b'{"features": [[0.1e]]}', b'{"features": [}',
+          b'{"features": [[' + b"9" * 5000 + b"]]}",
+          b'{"features": [' + b"[1,1,1,1,1,1,1,1]," * 100 +
+          b"[1,1,1,1,1,1,1,1]]}"]
 
 
 def _mutate(rng: np.random.Generator) -> tuple[bytes, bool]:

@@ -88,13 +88,110 @@ def test_native_error_surface(frontend):
     assert status == 400 and "unknown image id" in out["error"]
     status, out = _request(fe.port, "POST", "/v1/caption", {"wrong": 1})
     assert status == 400
-    # feature/image bodies are the Python server's job
+    # feature-row validation happens in the C++ parser
     status, out = _request(fe.port, "POST", "/v1/caption",
-                           {"features": [[0.1] * 8]})
-    assert status == 501 and "python" in out["error"]
+                           {"features": [[0.1] * 5]})
+    assert status == 400 and "dims" in out["error"]
+    status, out = _request(fe.port, "POST", "/v1/caption",
+                           {"features": [0.1] * 8})   # flat, not rows
+    assert status == 400
+    status, out = _request(fe.port, "POST", "/v1/caption",
+                           {"features": []})
+    assert status == 400
+    # image bodies are the Python server's job
     status, out = _request(fe.port, "POST", "/v1/caption",
                            {"image_b64": "abcd"})
-    assert status == 501
+    assert status == 501 and "python" in out["error"]
+
+
+def test_native_feature_requests_match_service(frontend):
+    """Raw fc7 rows through the C++ parser + grouped feature dispatch
+    must produce exactly what ``caption_features`` produces (the Python
+    server's contract for the same body)."""
+    fe, svc = frontend
+    rng = np.random.default_rng(11)
+    rows = np.abs(rng.standard_normal((5, 8))).astype(np.float32)
+    expected = svc.caption_features(list(rows))
+
+    status, out = _request(fe.port, "POST", "/v1/caption",
+                           {"features": [r.tolist() for r in rows]})
+    assert status == 200 and out["captions"] == expected
+
+    # un-normalized rows normalize server-side (reference lrcn.jl:597);
+    # a power-of-two scale keeps the normalized row bit-identical
+    status, out = _request(fe.port, "POST", "/v1/caption",
+                           {"features": [(rows[0] * 8.0).tolist()]})
+    assert status == 200 and out["captions"] == expected[:1]
+
+    # /stats counts them
+    _, st = _request(fe.port, "GET", "/stats")
+    assert st["feat_items"] >= 6
+
+
+def test_native_mixed_id_and_feature_burst(frontend):
+    """Concurrent id and feature requests in the same pull window serve
+    correctly (they split into a rows dispatch and a feats dispatch)."""
+    fe, svc = frontend
+    rng = np.random.default_rng(12)
+    rows = np.abs(rng.standard_normal((3, 8))).astype(np.float32)
+    want_feat = svc.caption_features(list(rows))
+    want_ids = svc.caption_ids([100, 105])
+
+    results = {}
+    barrier = threading.Barrier(5)
+
+    def by_id(k, image_id, want):
+        barrier.wait(timeout=30)
+        status, out = _request(fe.port, "POST", "/v1/caption",
+                               {"id": image_id})
+        results[k] = (status, out["captions"], [want])
+
+    def by_feat(k, row, want):
+        barrier.wait(timeout=30)
+        status, out = _request(fe.port, "POST", "/v1/caption",
+                               {"features": [row.tolist()]})
+        results[k] = (status, out["captions"], [want])
+
+    threads = ([threading.Thread(target=by_id, args=(f"i{j}", i, w),
+                                 daemon=True)
+                for j, (i, w) in enumerate(zip([100, 105], want_ids))]
+               + [threading.Thread(target=by_feat, args=(f"f{j}", r, w),
+                                   daemon=True)
+                  for j, (r, w) in enumerate(zip(rows, want_feat))])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(results) == 5
+    for status, got, want in results.values():
+        assert status == 200 and got == want
+
+
+def test_native_features_only_service_without_store():
+    """A features-only deployment (external encoder, no feature store)
+    serves raw-feature requests natively; id requests get a 400."""
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                     cnn_feature_dim=8)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = lrcn.init_params(jax.random.PRNGKey(2), cfg)
+    svc = CaptionService(cfg, params, vocab, beam_width=2, max_words=8,
+                         decode_batch=8, compute_dtype=jnp.float32)
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=8,
+                        wait_ms=2)
+    try:
+        rng = np.random.default_rng(13)
+        row = np.abs(rng.standard_normal(8)).astype(np.float32)
+        want = svc.caption_features([row])
+        status, out = _request(fe.port, "POST", "/v1/caption",
+                               {"features": [row.tolist()]})
+        assert status == 200 and out["captions"] == want
+        status, out = _request(fe.port, "POST", "/v1/caption", {"id": 1})
+        assert status == 400 and "feature store" in out["error"]
+    finally:
+        fe.stop()
+        svc.close()
 
 
 def test_native_concurrent_clients_coalesce(frontend):
@@ -332,8 +429,8 @@ def test_serve_next_fill_window_semantics():
         reqs = (LL * max_n)()
         slots = (LL * max_n)()
         t0 = time.perf_counter()
-        n = lib.lrcn_serve_next(h, ids, reqs, slots, max_n, wait_ms,
-                                fill_ms, min_n)
+        n = lib.lrcn_serve_next(h, ids, reqs, slots, None, None, max_n,
+                                wait_ms, fill_ms, min_n)
         return n, time.perf_counter() - t0, reqs, slots
 
     def respond(n, reqs, slots):
