@@ -369,8 +369,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--native-frontend", action="store_true",
                    help="serve through the C++ HTTP front-end "
                         "(native/httpserve.cpp): per-request work out "
-                        "of the GIL; id and raw-feature requests — "
-                        "base64 images need the default Python server")
+                        "of the GIL; full request surface (ids, raw "
+                        "features, base64 images when an encoder is "
+                        "loaded)")
     p.add_argument("--request-timeout", type=float, default=60.0,
                    help="seconds a request may wait on the device "
                         "before HTTP 504")

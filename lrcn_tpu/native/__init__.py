@@ -152,6 +152,12 @@ def httpserve_library() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int]
         lib.lrcn_serve_set_feature_dim.argtypes = [
             ctypes.c_void_p, ctypes.c_int]
+        lib.lrcn_serve_set_image_support.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib.lrcn_serve_next_image.restype = LL
+        lib.lrcn_serve_next_image.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
+            ctypes.POINTER(ctypes.c_char), LL, ctypes.c_int]
         lib.lrcn_serve_respond.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]

@@ -10,16 +10,21 @@
 // per coalesced BATCH: it pulls up to max_n (id, request) pairs, runs the
 // batched on-device beam search, and pushes caption strings back.
 //
-// Scope: the production hot paths —
+// Scope: the full /v1/caption request surface —
 //   POST /v1/caption  {"id": N} | {"ids": [N, ...]}   (integers only)
 //   POST /v1/caption  {"features": [[f, ...], ...]}   raw fc7 rows
 //                     (enabled once the pump registers the feature dim
 //                     via lrcn_serve_set_feature_dim; rows are parsed
 //                     in C++ and travel the queue as float payloads)
+//   POST /v1/caption  {"image_b64": "..."} | {"images_b64": [...]}
+//                     (enabled via lrcn_serve_set_image_support; bytes
+//                     are base64-decoded in C++ and travel a separate
+//                     blob queue to the pump's image thread, which
+//                     feeds the service's VGG encode stage)
 //   GET  /healthz, GET /stats                         (answered in C++)
-// Base64-image bodies return 501 pointing at the Python server (lrcn
-// serve without --native-frontend), which shares the same request
-// surface.
+// With neither capability registered (pre-round-4 pumps), feature and
+// image bodies return 501 pointing at the Python server (lrcn serve
+// without --native-frontend), which shares the same request surface.
 //
 // Threading: one acceptor + a fixed pool of connection threads (blocking
 // reads, HTTP keep-alive). A connection thread parses a request, enqueues
@@ -33,6 +38,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <array>
 #include <atomic>
 #include <cctype>
 #include <chrono>
@@ -75,6 +81,10 @@ struct Item {
     // lifetime rule as the serial above).  Null for id items.  Worst
     // case memory: max_queue * feat_dim * 4 B (64 MB at 4096 x 4096).
     std::shared_ptr<std::vector<float>> feat;
+    // Base64-image requests: the DECODED image bytes (JPEG/PNG), same
+    // ownership rule.  Blob items live in Server::blobq, not the main
+    // queue (variable-size payloads pull one at a time).
+    std::shared_ptr<std::string> blob;
 };
 
 struct Server {
@@ -88,19 +98,28 @@ struct Server {
     std::deque<Item> queue;
     size_t max_queue = 4096;
 
+    // image blobs: separate queue + condvar (the flat pull must not
+    // skip-and-reorder variable-size items); bounded by max_blobq
+    std::mutex bmu;
+    std::condition_variable bcv;
+    std::deque<Item> blobq;
+    size_t max_blobq = 64;
+
     std::mutex live_mu;                       // serials -> live requests
     std::unordered_map<long long, Request*> live;
     std::atomic<long long> next_serial{1};
 
     // stats
     std::atomic<long long> requests{0}, items{0}, batches{0}, shed{0},
-        errors{0}, feat_items{0};
+        errors{0}, feat_items{0}, img_items{0};
 
     int request_timeout_ms = 60000;   // condvar wait bound -> 504
 
     // fc7 row width for {"features": [[...], ...]} bodies; 0 (unset)
     // keeps the pre-round-4 behavior (501 -> the Python server)
     std::atomic<int> feat_dim{0};
+    // image_b64 bodies accepted once the pump registers an encoder
+    std::atomic<bool> images_ok{false};
 
     // token id -> word, registered once by the pump (set_vocab) so
     // responses can be built from RAW device tokens without Python
@@ -345,6 +364,115 @@ bool parse_features(const std::string& body,
     return rows.size() > 0 || (err = "features is empty", false);
 }
 
+// standard-alphabet base64 -> bytes; false on any character outside
+// [A-Za-z0-9+/=] or bad padding ('=' only at the end).  Base64 text
+// never contains '"' or '\\', so a JSON string holding it needs no
+// escape handling — any escape is simply an invalid character here.
+bool b64_decode(const char* s, size_t len, std::string& out) {
+    // C++11 guarantees thread-safe one-time init of this local static
+    static const std::array<signed char, 256> table = [] {
+        std::array<signed char, 256> t;
+        t.fill(-1);
+        const char* a = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                        "abcdefghijklmnopqrstuvwxyz0123456789+/";
+        for (int j = 0; a[j]; j++) t[(unsigned char)a[j]] =
+            (signed char)j;
+        return t;
+    }();
+    while (len && s[len - 1] == '=') len--;     // strip padding
+    out.clear();
+    out.reserve(len * 3 / 4);
+    unsigned acc = 0;
+    int bits = 0;
+    for (size_t j = 0; j < len; j++) {
+        signed char v = table[(unsigned char)s[j]];
+        if (v < 0) return false;                // incl. '=' mid-stream
+        acc = (acc << 6) | (unsigned)v;
+        bits += 6;
+        if (bits >= 8) {
+            bits -= 8;
+            out.push_back((char)((acc >> bits) & 0xff));
+        }
+    }
+    return bits < 6;   // a single leftover sextet is invalid base64
+}
+
+// strict parse of {"image_b64": "..."} / {"images_b64": ["...", ...]};
+// decodes each string to bytes.  Exception-free (detached thread).
+bool parse_images(const std::string& body,
+                  std::vector<std::shared_ptr<std::string>>& blobs,
+                  std::string& err) {
+    size_t i = 0;
+    auto skip_ws = [&] { while (i < body.size() &&
+        (body[i] == ' ' || body[i] == '\t' || body[i] == '\n' ||
+         body[i] == '\r')) i++; };
+    auto parse_one = [&]() -> bool {
+        skip_ws();
+        if (i >= body.size() || body[i] != '"') {
+            err = "image must be a base64 string";
+            return false;
+        }
+        i++;
+        size_t end = body.find('"', i);
+        if (end == std::string::npos) { err = "unterminated string";
+                                        return false; }
+        auto blob = std::make_shared<std::string>();
+        if (!b64_decode(body.c_str() + i, end - i, *blob)) {
+            err = "invalid base64";
+            return false;
+        }
+        if (blob->empty()) { err = "empty image"; return false; }
+        blobs.push_back(std::move(blob));
+        i = end + 1;
+        return true;
+    };
+    skip_ws();
+    if (i >= body.size() || body[i] != '{') { err = "not an object";
+                                              return false; }
+    i++;
+    skip_ws();
+    if (body.compare(i, 11, "\"image_b64\"") == 0) {
+        i += 11;
+        skip_ws();
+        if (i >= body.size() || body[i] != ':') { err = "bad image_b64";
+                                                  return false; }
+        i++;
+        if (!parse_one()) return false;
+    } else if (body.compare(i, 12, "\"images_b64\"") == 0) {
+        i += 12;
+        skip_ws();
+        if (i >= body.size() || body[i] != ':') { err = "bad images_b64";
+                                                  return false; }
+        i++;
+        skip_ws();
+        if (i >= body.size() || body[i] != '[') {
+            err = "images_b64 must be a list";
+            return false;
+        }
+        i++;
+        skip_ws();
+        if (i < body.size() && body[i] == ']') { i++; }
+        else for (;;) {
+            if (!parse_one()) return false;
+            skip_ws();
+            if (i < body.size() && body[i] == ',') { i++; continue; }
+            if (i < body.size() && body[i] == ']') { i++; break; }
+            err = "bad images_b64 list";
+            return false;
+        }
+    } else {
+        err = "body needs image_b64 or images_b64";
+        return false;
+    }
+    skip_ws();
+    if (i >= body.size() || body[i] != '}') { err = "trailing content";
+                                              return false; }
+    i++;
+    skip_ws();
+    if (i != body.size()) { err = "trailing content"; return false; }
+    return blobs.size() > 0 || (err = "no images", false);
+}
+
 void handle_connection(Server* sv, int fd) {
     // bounded reads: idle keep-alive connections wake periodically and
     // re-check the stopping flag instead of blocking in recv forever
@@ -458,6 +586,8 @@ void handle_connection(Server* sv, int fd) {
                 ", \"shed\": " + std::to_string(sv->shed.load()) +
                 ", \"feat_items\": " +
                 std::to_string(sv->feat_items.load()) +
+                ", \"img_items\": " +
+                std::to_string(sv->img_items.load()) +
                 ", \"errors\": " + std::to_string(sv->errors.load()) + "}";
             respond(fd, 200, s, keep_alive);
             continue;
@@ -469,9 +599,11 @@ void handle_connection(Server* sv, int fd) {
         sv->requests.fetch_add(1);
         std::vector<long long> ids;
         std::vector<std::shared_ptr<std::vector<float>>> feat_rows;
+        std::vector<std::shared_ptr<std::string>> blobs;
         bool unsupported = false;
         if (!parse_ids(body, ids, unsupported) || ids.empty()) {
             bool is_feats = body.find("\"features\"") != std::string::npos;
+            bool is_imgs = body.find("_b64\"") != std::string::npos;
             int dim = sv->feat_dim.load();
             if (is_feats && dim > 0) {
                 std::string err;
@@ -482,12 +614,21 @@ void handle_connection(Server* sv, int fd) {
                     continue;
                 }
                 ids.assign(feat_rows.size(), -1);   // slot count only
-            } else if (unsupported || (is_feats && dim == 0)) {
+            } else if (is_imgs && sv->images_ok.load()) {
+                std::string err;
+                if (!parse_images(body, blobs, err)) {
+                    sv->errors.fetch_add(1);
+                    respond(fd, 400, "{\"error\": \"" +
+                            json_escape(err) + "\"}", keep_alive);
+                    continue;
+                }
+                ids.assign(blobs.size(), -1);       // slot count only
+            } else if (unsupported || is_feats || is_imgs) {
                 sv->errors.fetch_add(1);
                 respond(fd, 501,
-                        "{\"error\": \"native frontend serves id/"
-                        "feature requests; use the python server for "
-                        "images\"}", keep_alive);
+                        "{\"error\": \"this capability is not enabled "
+                        "on the native frontend; use the python "
+                        "server\"}", keep_alive);
                 continue;
             } else {
                 sv->errors.fetch_add(1);
@@ -505,7 +646,24 @@ void handle_connection(Server* sv, int fd) {
             std::lock_guard<std::mutex> lk(sv->live_mu);
             sv->live[req.serial] = &req;
         }
-        {
+        if (!blobs.empty()) {   // image request -> the blob queue
+            std::unique_lock<std::mutex> lk(sv->bmu);
+            if (sv->blobq.size() + blobs.size() > sv->max_blobq) {
+                lk.unlock();
+                std::lock_guard<std::mutex> lk2(sv->live_mu);
+                sv->live.erase(req.serial);
+                sv->shed.fetch_add(1);
+                respond(fd, 503, "{\"error\": \"image queue full\"}",
+                        keep_alive);
+                continue;
+            }
+            for (size_t s = 0; s < blobs.size(); s++)
+                sv->blobq.push_back(Item{-1, req.serial, s, nullptr,
+                                         blobs[s]});
+            lk.unlock();
+            sv->img_items.fetch_add((long long)blobs.size());
+            sv->bcv.notify_all();
+        } else {
             std::unique_lock<std::mutex> lk(sv->qmu);
             if (sv->queue.size() + req.ids.size() > sv->max_queue) {
                 lk.unlock();
@@ -519,11 +677,13 @@ void handle_connection(Server* sv, int fd) {
             for (size_t s = 0; s < req.ids.size(); s++)
                 sv->queue.push_back(Item{
                     req.ids[s], req.serial, s,
-                    s < feat_rows.size() ? feat_rows[s] : nullptr});
+                    s < feat_rows.size() ? feat_rows[s] : nullptr,
+                    nullptr});
+            lk.unlock();
+            if (!feat_rows.empty())
+                sv->feat_items.fetch_add((long long)feat_rows.size());
+            sv->qcv.notify_all();
         }
-        if (!feat_rows.empty())
-            sv->feat_items.fetch_add((long long)feat_rows.size());
-        sv->qcv.notify_all();
 
         bool timed_out = false;
         {   // wait for the pump to fill every slot (or error the request)
@@ -540,9 +700,18 @@ void handle_connection(Server* sv, int fd) {
             // abandoned mid-flight (timeout / shutdown): drop any of the
             // request's items still queued so the pump doesn't decode
             // for a client that already got its error response
-            std::lock_guard<std::mutex> lk(sv->qmu);
-            for (auto qi = sv->queue.begin(); qi != sv->queue.end();) {
-                if (qi->serial == req.serial) qi = sv->queue.erase(qi);
+            {
+                std::lock_guard<std::mutex> lk(sv->qmu);
+                for (auto qi = sv->queue.begin();
+                     qi != sv->queue.end();) {
+                    if (qi->serial == req.serial)
+                        qi = sv->queue.erase(qi);
+                    else ++qi;
+                }
+            }
+            std::lock_guard<std::mutex> bl(sv->bmu);
+            for (auto qi = sv->blobq.begin(); qi != sv->blobq.end();) {
+                if (qi->serial == req.serial) qi = sv->blobq.erase(qi);
                 else ++qi;
             }
         }
@@ -734,6 +903,39 @@ void lrcn_serve_set_feature_dim(void* h, int dim) {
     ((Server*)h)->feat_dim.store(dim > 0 ? dim : 0);
 }
 
+// Enable {"image_b64"/"images_b64"} bodies (the pump registers this
+// only when its service has a VGG encoder).  `max_blobq` bounds the
+// decoded-bytes backlog (memory: images are MBs each).
+void lrcn_serve_set_image_support(void* h, int enabled, int max_blobq) {
+    auto* sv = (Server*)h;
+    sv->images_ok.store(enabled != 0);
+    if (max_blobq > 0) sv->max_blobq = (size_t)max_blobq;
+}
+
+// Pull ONE decoded image blob: copies up to bufcap bytes into buf and
+// returns the blob's size.  Returns 0 if nothing arrived within
+// wait_ms, or -(size) if bufcap is too small (the item stays queued;
+// call again with a bigger buffer).
+long long lrcn_serve_next_image(void* h, long long* req, long long* slot,
+                                char* buf, long long bufcap,
+                                int wait_ms) {
+    auto* sv = (Server*)h;
+    std::unique_lock<std::mutex> lk(sv->bmu);
+    if (sv->blobq.empty()) {
+        sv->bcv.wait_for(lk, std::chrono::milliseconds(wait_ms), [&] {
+            return !sv->blobq.empty() || sv->stopping.load(); });
+    }
+    if (sv->blobq.empty()) return 0;
+    const Item& it = sv->blobq.front();
+    long long sz = (long long)it.blob->size();
+    if (sz > bufcap) return -sz;
+    std::memcpy(buf, it.blob->data(), (size_t)sz);
+    *req = it.serial;
+    *slot = (long long)it.slot;
+    sv->blobq.pop_front();
+    return sz;
+}
+
 void fill_slot(Server* sv, long long serial, long long slot,
                std::string caption) {
     // caller holds live_mu
@@ -815,6 +1017,7 @@ void lrcn_serve_stop(void* h) {
     ::shutdown(sv->listen_fd, SHUT_RDWR);
     ::close(sv->listen_fd);
     sv->qcv.notify_all();
+    sv->bcv.notify_all();
     {   // wake every waiting connection thread
         std::lock_guard<std::mutex> live(sv->live_mu);
         for (auto& [serial, r] : sv->live) {

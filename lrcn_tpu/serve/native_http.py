@@ -11,12 +11,13 @@ rows, issues the batched on-device beam search, and pushes caption
 strings back.  Dispatch N+1 issues while batch N's tokens transfer
 back (same pipelining as serve/batcher.py).
 
-Scope: caption-by-id (int32 row indices against the HBM-resident
-table) and raw fc7 features (parsed to float rows in C++, decoded via
-the grouped scanned feature dispatch) plus /healthz and /stats;
-base64-image requests get a 501 pointing at the Python server (`lrcn
-serve` without ``--native-frontend``), which shares the same endpoint
-contract.
+Scope: the full endpoint contract.  Caption-by-id (int32 row indices
+against the HBM-resident table) and raw fc7 features (parsed to float
+rows in C++, decoded via the grouped scanned feature dispatch) run
+through the main pump; base64 images (decoded to bytes in C++) run
+through a dedicated image thread feeding the service's VGG encode
+stage — enabled when the service has an encoder, 501 otherwise.
+/healthz and /stats answer entirely in C++.
 """
 
 from __future__ import annotations
@@ -83,9 +84,19 @@ class NativeFrontend:
         service.warmup_burst_shapes()
         service.warmup_feature_burst_shapes()
         self._stop = threading.Event()
+        self._img_thread = None
+        if service._encode is not None:
+            # base64-image bodies: C++ decodes to bytes; this thread
+            # feeds them through the service's encode (VGG) stage.
+            # max_blobq bounds decoded-bytes memory (images are MBs)
+            lib.lrcn_serve_set_image_support(self._h, 1, 64)
+            self._img_thread = threading.Thread(
+                target=self._run_images, name="lrcn-img", daemon=True)
         self._pump = threading.Thread(target=self._run, name="lrcn-pump",
                                       daemon=True)
         self._pump.start()
+        if self._img_thread is not None:
+            self._img_thread.start()
 
     # --- pump thread: per-batch Python ---
 
@@ -214,6 +225,76 @@ class NativeFrontend:
                     self._lib.lrcn_serve_error(
                         self._h, r, 500, b"decode failed")
 
+    def _run_images(self) -> None:
+        """Image thread: pull decoded blobs, batch them through the
+        service's encode stage, respond.
+
+        Per-item Python here is fine — an image request is dominated by
+        JPEG decode + the VGG dispatch, not request overhead; the C++
+        front-end still owns accept/parse/base64/respond.  Batching:
+        after the first blob arrives, drain whatever else is queued (up
+        to the encode batch) so concurrent image requests coalesce into
+        one VGG dispatch."""
+        import io
+
+        from PIL import Image
+
+        from lrcn_tpu.data.images import resize_crop
+
+        svc = self.service
+        buf_cap = 16 << 20
+        buf = ctypes.create_string_buffer(buf_cap)
+        req = _LL()
+        slot = _LL()
+
+        def pull_one(wait_ms: int):
+            nonlocal buf, buf_cap
+            n = self._lib.lrcn_serve_next_image(
+                self._h, ctypes.byref(req), ctypes.byref(slot), buf,
+                buf_cap, wait_ms)
+            if n < 0:                      # blob bigger than the buffer
+                buf_cap = int(-n)
+                buf = ctypes.create_string_buffer(buf_cap)
+                n = self._lib.lrcn_serve_next_image(
+                    self._h, ctypes.byref(req), ctypes.byref(slot), buf,
+                    buf_cap, wait_ms)
+            if n <= 0:
+                return None
+            return int(req.value), int(slot.value), buf.raw[:n]
+
+        max_batch = svc._encode.max_batch
+        while not self._stop.is_set():
+            first = pull_one(50)
+            if first is None:
+                continue
+            batch = [first]
+            while len(batch) < max_batch:
+                nxt = pull_one(0)
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            images, metas = [], []
+            for r, s, blob in batch:
+                try:
+                    img = Image.open(io.BytesIO(blob)).convert("RGB")
+                    images.append(resize_crop(np.asarray(img)))
+                    metas.append((r, s))
+                except Exception:   # noqa: BLE001 — bad bytes = client
+                    self._lib.lrcn_serve_error(
+                        self._h, r, 400, b"could not decode image")
+            if not images:
+                continue
+            try:
+                caps = svc.caption_images(images)
+                self._respond([r for r, _ in metas],
+                              [s for _, s in metas], caps)
+            except Exception as e:   # noqa: BLE001 — outlive failures
+                print(f"native image thread: batch failed: {e!r}",
+                      flush=True)
+                for r, _ in metas:
+                    self._lib.lrcn_serve_error(
+                        self._h, r, 500, b"encode failed")
+
     def _respond(self, preqs, pslots, captions) -> None:
         k = len(captions)
         self._lib.lrcn_serve_respond(
@@ -242,4 +323,6 @@ class NativeFrontend:
     def stop(self) -> None:
         self._stop.set()
         self._pump.join(timeout=10)
+        if self._img_thread is not None:
+            self._img_thread.join(timeout=10)
         self._lib.lrcn_serve_stop(self._h)

@@ -45,6 +45,8 @@ N_CLIENTS_PY = 8
 
 
 def _tiny_service() -> CaptionService:
+    from lrcn_tpu.models import vgg as vgg_mod
+
     cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
                      cnn_feature_dim=8)
     vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
@@ -54,8 +56,14 @@ def _tiny_service() -> CaptionService:
         cfg.cnn_feature_dim)).astype(np.float32) for i in range(12)}
     store = FeatureStore.from_dict(
         {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    # an encoder too, so the image paths (C++ base64 decode + the
+    # image thread) are inside the fuzz surface
+    vgg_params = vgg_mod.init_vgg_params(
+        jax.random.PRNGKey(1), width_multiplier=0.05,
+        fc_dim=cfg.cnn_feature_dim)
     svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
                          max_words=8, decode_batch=8,
+                         vgg_params=vgg_params, encode_batch=2,
                          compute_dtype=jnp.float32,
                          request_timeout_s=10.0)
     svc.warmup()
@@ -122,7 +130,15 @@ BODIES = [b'{"id": 100}', b'{"id": -}', b'{"ids": [100,101]}', b"{",
           b'{"features": [[0.1e]]}', b'{"features": [}',
           b'{"features": [[' + b"9" * 5000 + b"]]}",
           b'{"features": [' + b"[1,1,1,1,1,1,1,1]," * 100 +
-          b"[1,1,1,1,1,1,1,1]]}"]
+          b"[1,1,1,1,1,1,1,1]]}",
+          # hostile image bodies (C++ base64 decoder + image thread)
+          b'{"image_b64": "AAAA"}',                 # valid b64, bad jpeg
+          b'{"image_b64": "!!!"}', b'{"image_b64": ""}',
+          b'{"image_b64": "A"}',                    # leftover sextet
+          b'{"image_b64": "A=== "}', b'{"image_b64": 5}',
+          b'{"images_b64": []}', b'{"images_b64": ["AAAA", "????"]}',
+          b'{"image_b64": "' + b"A" * 20000 + b'"}',
+          b'{"image_b64": "' + b"\\x00" * 64 + b'"}']
 
 
 def _mutate(rng: np.random.Generator) -> tuple[bytes, bool]:

@@ -167,6 +167,71 @@ def test_native_mixed_id_and_feature_burst(frontend):
         assert status == 200 and got == want
 
 
+def test_native_image_requests_match_service():
+    """Base64 image bodies: C++ decodes the base64, the image thread
+    feeds the service's VGG encode stage; captions must equal
+    ``caption_image_bytes`` (the Python server's contract).  Bad bytes
+    get a 400; bad base64 is rejected in the C++ parser."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from lrcn_tpu.models import vgg as vgg_mod
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                     cnn_feature_dim=8)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = lrcn.init_params(jax.random.PRNGKey(3), cfg)
+    vgg_params = vgg_mod.init_vgg_params(
+        jax.random.PRNGKey(4), width_multiplier=0.05,
+        fc_dim=cfg.cnn_feature_dim)
+    svc = CaptionService(cfg, params, vocab, vgg_params=vgg_params,
+                         beam_width=2, max_words=8, decode_batch=4,
+                         encode_batch=2, compute_dtype=jnp.float32)
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=8,
+                        wait_ms=2)
+    try:
+        rng = np.random.default_rng(9)
+        blobs = []
+        for _ in range(2):
+            img = Image.fromarray(
+                rng.integers(0, 255, (240, 260, 3)).astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            blobs.append(buf.getvalue())
+        want = svc.caption_image_bytes(blobs)
+
+        status, out = _request(
+            fe.port, "POST", "/v1/caption",
+            {"image_b64": base64.b64encode(blobs[0]).decode()})
+        assert status == 200 and out["captions"] == want[:1]
+
+        status, out = _request(
+            fe.port, "POST", "/v1/caption",
+            {"images_b64": [base64.b64encode(b).decode()
+                            for b in blobs]})
+        assert status == 200 and out["captions"] == want
+
+        # valid base64, invalid image bytes -> 400 from the image thread
+        status, out = _request(
+            fe.port, "POST", "/v1/caption",
+            {"image_b64": base64.b64encode(b"not a jpeg").decode()})
+        assert status == 400 and "decode image" in out["error"]
+
+        # invalid base64 -> 400 from the C++ parser
+        status, out = _request(fe.port, "POST", "/v1/caption",
+                               {"image_b64": "!!!not-base64!!!"})
+        assert status == 400 and "base64" in out["error"]
+
+        _, st = _request(fe.port, "GET", "/stats")
+        assert st["img_items"] >= 4
+    finally:
+        fe.stop()
+        svc.close()
+
+
 def test_native_features_only_service_without_store():
     """A features-only deployment (external encoder, no feature store)
     serves raw-feature requests natively; id requests get a 400."""
