@@ -11,9 +11,13 @@ lrcn.jl:30-55).  Here the same capabilities are subcommands:
     lrcn eval             eval/eval.jl reference building + BLEU scoring
     lrcn bleu             the multi-bleu scorer (eval/multi-bleu.perl)
     lrcn import-karpathy  feature_extractor.jl (Karpathy fc7 import)
+    lrcn import-jld       convert a reference Knet JLD checkpoint
+                          (lrcn.jl:185) into a native checkpoint
     lrcn download         download_data.sh / karpathy_features.sh
     lrcn serve            online caption service (new surface — the
                           reference only generates offline)
+    lrcn export           frozen StableHLO inference artifacts (new
+                          surface — deployment without model code)
 
 Dead reference flags are intentionally not reproduced (--gclip parsed but
 clipping commented out lrcn.jl:386-393, --lr unused :399-405, :bestfile
@@ -324,6 +328,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset-json", required=True)
     p.add_argument("--out", required=True, help="FeatureStore dir")
     p.add_argument("--no-normalize", action="store_true")
+
+    p = sub.add_parser("import-jld",
+                       help="convert a reference Knet JLD checkpoint "
+                            "(model + vocab, lrcn.jl:185) into a native "
+                            "checkpoint directory")
+    p.add_argument("jld", help="path to the reference .jld checkpoint")
+    p.add_argument("--savefile", required=True,
+                   help="output checkpoint directory")
 
     p = sub.add_parser("download",
                        help="fetch COCO 2014 / Flickr30k / Karpathy "
@@ -959,6 +971,17 @@ def cmd_import_karpathy(args) -> int:
     return 0
 
 
+def cmd_import_jld(args) -> int:
+    from lrcn_tpu.data.jld import import_knet_checkpoint
+
+    out = import_knet_checkpoint(args.jld, args.savefile)
+    cfg, vocab = out["cfg"], out["vocab"]
+    print(f"imported {args.jld}: hidden={tuple(cfg.hidden)} "
+          f"embed={cfg.embed} vocab={len(vocab)} "
+          f"cnn_feature_dim={cfg.cnn_feature_dim} -> {args.savefile}")
+    return 0
+
+
 def cmd_download(args) -> int:
     from lrcn_tpu.data.download import download_dataset
 
@@ -1106,6 +1129,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         "eval": cmd_eval,
         "bleu": cmd_bleu,
         "import-karpathy": cmd_import_karpathy,
+        "import-jld": cmd_import_jld,
         "download": cmd_download,
         "serve": cmd_serve,
         "export": cmd_export,

@@ -1,0 +1,271 @@
+"""Knet/JLD checkpoint import: bring a reference-trained model over.
+
+The reference checkpoints with ``save(file, "model", model, "vocab",
+vocab)`` (lrcn.jl:185,230): ``model`` is the flat ``Array{Any}`` parameter
+list (KnetArrays round-tripped to plain ``Array{Float32,2}`` by the
+KnetJLD shim, lrcn.jl:776-781) and ``vocab`` is the ``Dict{String,Int}``
+word->id table.  A user migrating from the reference should not have to
+retrain — ``lrcn import-jld model.jld --savefile ckpt`` converts such a
+file into a native checkpoint directory that every subcommand
+(``generate``, ``caption``, ``serve``, ``export``) loads.
+
+JLD is HDF5 plus Julia type metadata (the JLD.jl v1 format the
+reference's Julia-0.5-era stack wrote):
+
+- ``Array{Float32,N}`` -> a plain HDF5 dataset with the dimensions
+  REVERSED (Julia is column-major; HDF5 row-major), so the Julia array
+  is ``np.transpose`` of what h5py reads;
+- ``Array{Any}`` -> a dataset of HDF5 object references, one per element;
+- ``Dict{K,V}`` -> JLD wraps it in ``JLD.AssociativeWrapper`` and writes
+  a compound dataset whose ``keys``/``vals`` fields are references to the
+  key and value vectors;
+- ``Vector{String}`` -> a variable-length string dataset.
+
+The reader below follows references and compounds generically, so it
+tolerates layout variations (group-style composites, plain datasets) and
+fails with a precise message when a file doesn't hold what a reference
+checkpoint must.  Caveat: this sandbox has no Julia, so the reader is
+exercised against files built to the JLD v1 conventions above rather
+than files written by JLD.jl itself.
+
+Parameter-list layout (reference ``initweights``, lrcn.jl:489-510) and
+the mapping to :mod:`lrcn_tpu.models.lrcn` params — gate order
+[forget, ingate, outgate, change] and the ``(X+H, 4H)`` packing match
+the reference exactly (models/lrcn.py docstring), so no gate permutation
+is needed:
+
+    w[1] (E+H1, 4H1)   -> params["lstm1"]["w"]
+    w[2] (1, 4H1)      -> params["lstm1"]["b"]   (flattened)
+    w[3] (2F+H2, 4H2)  -> params["lstm2"]["w"]
+    w[4] (1, 4H2)      -> params["lstm2"]["b"]
+    w[5] (H1, F)       -> params["w_factor"]     [ref w[end-4]]
+    w[6] (C, F)        -> params["w_cnn"]        [ref w[end-3]]
+    w[7] (V, E)        -> params["embedding"]    [ref w[end-2]]
+    w[8] (H2, V)       -> params["w_out"]        [ref w[end-1]]
+    w[9] (1, V)        -> params["b_out"]        [ref w[end]]
+
+Vocabulary ids: the reference reserves ``~~``/``` `` ```/``##`` as ids
+1/2/3 (tokenizer.jl:157-159); ours are the same tokens at 0/1/2
+(core/vocab.py), so the Julia 1-based -> Python 0-based shift makes the
+id spaces line up row-for-row with the embedding matrix — no row
+permutation either.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+from lrcn_tpu.config import LRCNConfig
+from lrcn_tpu.core.vocab import BOS_TOKEN, EOS_TOKEN, UNK_TOKEN, Vocab
+
+_RESERVED = (EOS_TOKEN, BOS_TOKEN, UNK_TOKEN)
+
+
+def _decode_str(s: Any) -> str:
+    if isinstance(s, bytes):
+        return s.decode("utf-8", errors="replace")
+    return str(s)
+
+
+def _read_value(f, obj) -> Any:
+    """Read one JLD value: follow references, reverse array dims."""
+    import h5py
+
+    if isinstance(obj, h5py.Reference):
+        if not obj:                      # null ref = Julia #undef
+            return None
+        return _read_value(f, f[obj])
+    if isinstance(obj, h5py.Group):
+        return {k: _read_value(f, v) for k, v in obj.items()}
+
+    dt = obj.dtype
+    data = obj[()]
+
+    if dt.names:                         # compound (JLD composite type)
+        rec = data if data.shape == () else data.reshape(-1)[0]
+        return {name: _read_value(f, rec[name]) for name in dt.names}
+    if h5py.check_ref_dtype(dt):         # Array{Any} / boxed values
+        flat = np.asarray(data).reshape(-1)
+        return [_read_value(f, r) for r in flat]
+    if h5py.check_string_dtype(dt):      # Vector{String} / String
+        if np.isscalar(data) or getattr(data, "shape", None) == ():
+            return _decode_str(data)
+        return [_decode_str(s) for s in np.asarray(data).reshape(-1)]
+    arr = np.asarray(data)
+    if arr.ndim >= 2:
+        # HDF5 stores Julia arrays with dims reversed (column-major ->
+        # row-major); transpose back to the Julia orientation.
+        arr = np.transpose(arr)
+    return arr
+
+
+def read_jld(path: str) -> dict[str, Any]:
+    """Read a JLD file's top-level variables (JLD bookkeeping skipped)."""
+    import h5py
+
+    out: dict[str, Any] = {}
+    with h5py.File(path, "r") as f:
+        for name, obj in f.items():
+            if name.startswith(("_", "#")):   # /_refs, /_types, #refs#
+                continue
+            out[name] = _read_value(f, obj)
+    return out
+
+
+def _as_matrix(x: Any, what: str) -> np.ndarray:
+    if not isinstance(x, np.ndarray):
+        raise ValueError(f"JLD model entry {what} is not an array "
+                         f"(got {type(x).__name__})")
+    return np.asarray(x, np.float32)
+
+
+def _as_bias(x: Any, what: str) -> np.ndarray:
+    b = _as_matrix(x, what)
+    if b.ndim == 2 and 1 in b.shape:
+        b = b.reshape(-1)
+    if b.ndim != 1:
+        raise ValueError(f"JLD model entry {what} should be a bias "
+                         f"(1, n) / (n,); got shape {b.shape}")
+    return b
+
+
+def knet_params_from_model(model: list) -> tuple[dict, LRCNConfig]:
+    """Map the reference's flat 9-array param list to a native pytree.
+
+    Returns ``(params, cfg)`` with ``cfg`` carrying the architecture the
+    shapes imply (``vocab_size`` included).  Raises ``ValueError`` with
+    the exact mismatch for anything that isn't a reference LRCN
+    checkpoint (lrcn.jl:489-510 shapes).
+    """
+    if len(model) != 9:
+        raise ValueError(
+            f"a reference LRCN checkpoint has 9 parameter arrays "
+            f"(initweights, lrcn.jl:489-510); this file has {len(model)}")
+
+    w1 = _as_matrix(model[0], "w[1] (LSTM-1 weights)")
+    b1 = _as_bias(model[1], "w[2] (LSTM-1 bias)")
+    w2 = _as_matrix(model[2], "w[3] (LSTM-2 weights)")
+    b2 = _as_bias(model[3], "w[4] (LSTM-2 bias)")
+    w_factor = _as_matrix(model[4], "w[5] (h1 factor projection)")
+    w_cnn = _as_matrix(model[5], "w[6] (CNN projection)")
+    embedding = _as_matrix(model[6], "w[7] (embedding)")
+    w_out = _as_matrix(model[7], "w[8] (output projection)")
+    b_out = _as_bias(model[8], "w[9] (output bias)")
+
+    if w1.shape[1] % 4 or w2.shape[1] % 4:
+        raise ValueError("LSTM weight columns must be 4*hidden (packed "
+                         f"gates); got {w1.shape} / {w2.shape}")
+    h1 = w1.shape[1] // 4
+    h2 = w2.shape[1] // 4
+    e = w1.shape[0] - h1
+    f2 = w2.shape[0] - h2                       # 2 * factor width
+    if e <= 0 or f2 <= 0 or f2 % 2:
+        raise ValueError(
+            f"LSTM input widths don't factor: w[1] {w1.shape} implies "
+            f"embed={e}, w[3] {w2.shape} implies concat width={f2} "
+            "(must be positive / even)")
+    f = f2 // 2
+    if f != math.ceil(h2 / 2):
+        raise ValueError(
+            f"factor width {f} != ceil(hidden2/2) = {math.ceil(h2 / 2)} "
+            "— not a reference LRCN layout (lrcn.jl:504-505)")
+    v, c = embedding.shape[0], w_cnn.shape[0]
+
+    checks = {
+        "w[2] (LSTM-1 bias)": (b1.shape, (4 * h1,)),
+        "w[4] (LSTM-2 bias)": (b2.shape, (4 * h2,)),
+        "w[5] (h1 factor projection)": (w_factor.shape, (h1, f)),
+        "w[6] (CNN projection)": (w_cnn.shape, (c, f)),
+        "w[7] (embedding)": (embedding.shape, (v, e)),
+        "w[8] (output projection)": (w_out.shape, (h2, v)),
+        "w[9] (output bias)": (b_out.shape, (v,)),
+    }
+    for what, (got, want) in checks.items():
+        if tuple(got) != tuple(want):
+            raise ValueError(f"JLD model entry {what} has shape {got}, "
+                             f"expected {want} from the other entries")
+
+    params = {
+        "lstm1": {"w": w1, "b": b1},
+        "lstm2": {"w": w2, "b": b2},
+        "w_factor": w_factor,
+        "w_cnn": w_cnn,
+        "embedding": embedding,
+        "w_out": w_out,
+        "b_out": b_out,
+    }
+    cfg = LRCNConfig(hidden=(h1, h2), embed=e, cnn_feature_dim=c,
+                     vocab_size=v)
+    return params, cfg
+
+
+def vocab_from_jld(value: Any) -> Vocab:
+    """Build a :class:`Vocab` from the JLD ``vocab`` value.
+
+    Accepts the AssociativeWrapper shape ({'keys': [...], 'vals': [...]})
+    or any mapping read from the file.  Validates the reference's
+    reserved tokens at ids 1/2/3 (tokenizer.jl:157-159) and id
+    contiguity, then shifts to our 0-based ids.
+    """
+    mapping: dict[str, int]
+    if isinstance(value, dict) and {"keys", "vals"} <= set(value):
+        keys, vals = value["keys"], value["vals"]
+        keys = [_decode_str(k) for k in np.asarray(keys, object).reshape(-1)]
+        vals = [int(x) for x in np.asarray(vals).reshape(-1)]
+        if len(keys) != len(vals):
+            raise ValueError(f"vocab keys/vals length mismatch: "
+                             f"{len(keys)} vs {len(vals)}")
+        mapping = dict(zip(keys, vals))
+    elif isinstance(value, dict):
+        mapping = {_decode_str(k): int(v) for k, v in value.items()}
+    else:
+        raise ValueError("the JLD 'vocab' entry is not a Dict "
+                         f"(got {type(value).__name__})")
+
+    n = len(mapping)
+    by_id = [None] * n
+    for word, idx in mapping.items():
+        if not 1 <= idx <= n or by_id[idx - 1] is not None:
+            raise ValueError(
+                f"vocab ids are not a 1..{n} permutation (word {word!r} "
+                f"has id {idx})")
+        by_id[idx - 1] = word
+    if tuple(by_id[:3]) != _RESERVED:
+        raise ValueError(
+            f"vocab ids 1/2/3 are {by_id[:3]}, expected the reference's "
+            f"reserved eos/bos/unk tokens {list(_RESERVED)} "
+            "(tokenizer.jl:157-159)")
+    return Vocab(by_id[3:])
+
+
+def import_knet_checkpoint(jld_path: str, out_dir: str) -> dict[str, Any]:
+    """Convert a reference JLD checkpoint into a native checkpoint dir.
+
+    Returns {'params', 'vocab', 'cfg'} (what was written).
+    """
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    values = read_jld(jld_path)
+    missing = [k for k in ("model", "vocab") if k not in values]
+    if missing:
+        raise ValueError(
+            f"{jld_path} has no {'/'.join(missing)} entr"
+            f"{'y' if len(missing) == 1 else 'ies'} — a reference "
+            f"checkpoint stores both (lrcn.jl:185); found: "
+            f"{sorted(values) or 'nothing'}")
+    model = values["model"]
+    if not isinstance(model, list):
+        raise ValueError("the JLD 'model' entry is not an Array{Any} "
+                         f"parameter list (got {type(model).__name__})")
+    params, cfg = knet_params_from_model(model)
+    vocab = vocab_from_jld(values["vocab"])
+    if len(vocab) != cfg.vocab_size:
+        raise ValueError(
+            f"vocab has {len(vocab)} words but the embedding has "
+            f"{cfg.vocab_size} rows — the file's model and vocab do not "
+            "belong together")
+    save_checkpoint(out_dir, params, vocab, cfg)
+    return {"params": params, "vocab": vocab, "cfg": cfg}

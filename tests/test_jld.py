@@ -1,0 +1,210 @@
+"""Knet/JLD checkpoint import (lrcn_tpu/data/jld.py).
+
+The reference checkpoints ``save(file, "model", model, "vocab", vocab)``
+(lrcn.jl:185,230).  No Julia exists in this sandbox, so these tests
+build files to the JLD v1 on-disk conventions (HDF5 + reversed dims +
+reference indirection + AssociativeWrapper dicts — see the module
+docstring) and assert the importer recovers the exact parameters, the
+vocab, and a checkpoint every decoder entry point can load.
+"""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+import jax  # noqa: E402
+
+from lrcn_tpu.config import LRCNConfig  # noqa: E402
+from lrcn_tpu.core.vocab import Vocab  # noqa: E402
+from lrcn_tpu.data.jld import (  # noqa: E402
+    import_knet_checkpoint,
+    knet_params_from_model,
+    read_jld,
+    vocab_from_jld,
+)
+from lrcn_tpu.models import lrcn as lrcn_model  # noqa: E402
+from lrcn_tpu.train.checkpoint import load_checkpoint  # noqa: E402
+
+
+def params_to_julia_model(params) -> list:
+    """Our param pytree -> the reference's flat 9-array list (Julia
+    orientation; biases as the reference's (1, n) row matrices)."""
+    row = lambda b: np.asarray(b).reshape(1, -1)
+    return [
+        np.asarray(params["lstm1"]["w"]), row(params["lstm1"]["b"]),
+        np.asarray(params["lstm2"]["w"]), row(params["lstm2"]["b"]),
+        np.asarray(params["w_factor"]), np.asarray(params["w_cnn"]),
+        np.asarray(params["embedding"]), np.asarray(params["w_out"]),
+        row(params["b_out"]),
+    ]
+
+
+def write_jld(path, model_julia, vocab_map) -> None:
+    """Write a JLD-v1-convention file: Julia arrays land in HDF5 with
+    dims REVERSED (column-major -> row-major), Array{Any} is a dataset
+    of object references, Dict is an AssociativeWrapper compound whose
+    keys/vals fields reference the key/value vectors."""
+    with h5py.File(path, "w") as f:
+        refs = f.create_group("_refs")
+        mrefs = []
+        for i, a in enumerate(model_julia):
+            d = refs.create_dataset(
+                f"m{i}", data=np.ascontiguousarray(np.transpose(a)))
+            mrefs.append(d.ref)
+        f.create_dataset("model",
+                         data=np.array(mrefs, dtype=h5py.ref_dtype))
+        words = list(vocab_map)
+        kd = refs.create_dataset(
+            "vocab_keys",
+            data=np.array(words, dtype=h5py.string_dtype()))
+        vd = refs.create_dataset(
+            "vocab_vals",
+            data=np.array([vocab_map[w] for w in words], np.int64))
+        comp = np.dtype([("keys", h5py.ref_dtype),
+                         ("vals", h5py.ref_dtype)])
+        dv = f.create_dataset("vocab",
+                              data=np.array((kd.ref, vd.ref), dtype=comp))
+        dv.attrs["julia type"] = np.bytes_(
+            "JLD.AssociativeWrapper{String,Int64,Dict{String,Int64}}")
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    words = [f"w{i}" for i in range(21)]
+    vocab = Vocab(words)
+    cfg = LRCNConfig(hidden=(10, 9), embed=8, cnn_feature_dim=12,
+                     vocab_size=len(vocab))
+    params = lrcn_model.init_params(jax.random.PRNGKey(7), cfg)
+    params = jax.tree.map(np.asarray, params)
+    return params, vocab, cfg
+
+
+def julia_vocab_map(vocab, rng=None):
+    """word -> 1-based id, in scrambled insertion order (the reference's
+    Dict iteration order is hash-dependent; the importer must not care)."""
+    items = [(w, i + 1) for i, w in enumerate(vocab.words)]
+    if rng is not None:
+        rng.shuffle(items)
+    return dict(items)
+
+
+def test_import_roundtrip_exact(tmp_path, small_model):
+    params, vocab, cfg = small_model
+    jld = str(tmp_path / "model.jld")
+    write_jld(jld, params_to_julia_model(params),
+              julia_vocab_map(vocab, np.random.default_rng(3)))
+
+    out_dir = str(tmp_path / "ckpt")
+    out = import_knet_checkpoint(jld, out_dir)
+    assert out["vocab"].words == vocab.words
+    assert tuple(out["cfg"].hidden) == tuple(cfg.hidden)
+    assert out["cfg"].embed == cfg.embed
+    assert out["cfg"].cnn_feature_dim == cfg.cnn_feature_dim
+    assert out["cfg"].vocab_size == cfg.vocab_size
+
+    loaded = load_checkpoint(out_dir)
+    assert loaded["vocab"].words == vocab.words
+    for path_key, leaf in [("lstm1", "w"), ("lstm1", "b"),
+                           ("lstm2", "w"), ("lstm2", "b")]:
+        np.testing.assert_array_equal(loaded["params"][path_key][leaf],
+                                      params[path_key][leaf])
+    for key in ("w_factor", "w_cnn", "embedding", "w_out", "b_out"):
+        np.testing.assert_array_equal(loaded["params"][key], params[key])
+
+
+def test_imported_checkpoint_decodes_identically(tmp_path, small_model):
+    """The imported params drive the decoder bit-identically to the
+    originals (i.e. the orientation/bias-flatten transforms are right
+    end to end, not just shape-compatible)."""
+    from lrcn_tpu.decode.beam import beam_search
+
+    params, vocab, _ = small_model
+    jld = str(tmp_path / "model.jld")
+    write_jld(jld, params_to_julia_model(params), julia_vocab_map(vocab))
+    out_dir = str(tmp_path / "ckpt")
+    import_knet_checkpoint(jld, out_dir)
+    loaded = load_checkpoint(out_dir)
+
+    feats = np.abs(np.random.default_rng(5).standard_normal(
+        (4, 12)).astype(np.float32))
+    feats /= feats.sum(axis=1, keepdims=True)
+    want_t, want_s = beam_search(params, feats, beam_width=3, max_words=8,
+                                 compute_dtype=np.float32)
+    got_t, got_s = beam_search(loaded["params"], feats, beam_width=3,
+                               max_words=8, compute_dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_cli_import_jld(tmp_path, small_model, capsys):
+    from lrcn_tpu import cli
+
+    params, vocab, _ = small_model
+    jld = str(tmp_path / "model.jld")
+    write_jld(jld, params_to_julia_model(params), julia_vocab_map(vocab))
+    out_dir = str(tmp_path / "ckpt")
+    assert cli.main(["import-jld", jld, "--savefile", out_dir]) == 0
+    msg = capsys.readouterr().out
+    assert "hidden=(10, 9)" in msg and "vocab=24" in msg
+    assert load_checkpoint(out_dir)["cfg"].vocab_size == 24
+
+
+def test_read_jld_skips_bookkeeping_and_reverses_dims(tmp_path):
+    path = str(tmp_path / "x.jld")
+    julia = np.arange(6, dtype=np.float32).reshape(2, 3)
+    with h5py.File(path, "w") as f:
+        f.create_group("_refs")
+        f.create_dataset("a", data=np.ascontiguousarray(julia.T))
+        f.create_dataset("s", data=np.array([b"hi", b"yo"],
+                                            dtype=h5py.string_dtype()))
+    vals = read_jld(path)
+    assert set(vals) == {"a", "s"}
+    np.testing.assert_array_equal(vals["a"], julia)
+    assert vals["s"] == ["hi", "yo"]
+
+
+def test_import_rejects_wrong_files(tmp_path, small_model):
+    params, vocab, _ = small_model
+    model = params_to_julia_model(params)
+
+    # not a checkpoint at all
+    empty = str(tmp_path / "empty.jld")
+    with h5py.File(empty, "w"):
+        pass
+    with pytest.raises(ValueError, match="no model/vocab"):
+        import_knet_checkpoint(empty, str(tmp_path / "o1"))
+
+    # truncated param list
+    with pytest.raises(ValueError, match="9 parameter arrays"):
+        knet_params_from_model(model[:8])
+
+    # an entry with an inconsistent shape
+    bad = list(model)
+    bad[4] = bad[4][:, :-1]                      # w_factor width off by 1
+    with pytest.raises(ValueError, match="factor"):
+        knet_params_from_model(bad)
+
+    # vocab without the reference's reserved tokens at ids 1/2/3
+    scrambled = {w: i + 1 for i, w in enumerate(vocab.words[::-1])}
+    with pytest.raises(ValueError, match="reserved"):
+        vocab_from_jld({"keys": list(scrambled),
+                        "vals": list(scrambled.values())})
+
+    # non-contiguous ids
+    with pytest.raises(ValueError, match="permutation"):
+        vocab_from_jld({"keys": ["~~", "``", "##", "a"],
+                        "vals": [1, 2, 3, 9]})
+
+    # model/vocab that don't belong together
+    jld = str(tmp_path / "mismatch.jld")
+    write_jld(jld, model, julia_vocab_map(Vocab(["only", "four", "w"])))
+    with pytest.raises(ValueError, match="do not belong together"):
+        import_knet_checkpoint(jld, str(tmp_path / "o2"))
+
+
+def test_vocab_from_plain_group_layout():
+    """Group-style dict reads (a {word: id} mapping) also work — the
+    reader is layout-tolerant."""
+    v = vocab_from_jld({"~~": 1, "``": 2, "##": 3, b"cat": 4, "dog": 5})
+    assert v.words == ["~~", "``", "##", "cat", "dog"]
