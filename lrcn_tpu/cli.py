@@ -13,6 +13,8 @@ lrcn.jl:30-55).  Here the same capabilities are subcommands:
     lrcn import-karpathy  feature_extractor.jl (Karpathy fc7 import)
     lrcn import-jld       convert a reference Knet JLD checkpoint
                           (lrcn.jl:185) into a native checkpoint
+    lrcn export-jld       the reverse: a native checkpoint back to a
+                          reference-loadable JLD file
     lrcn download         download_data.sh / karpathy_features.sh
     lrcn serve            online caption service (new surface — the
                           reference only generates offline)
@@ -336,6 +338,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("jld", help="path to the reference .jld checkpoint")
     p.add_argument("--savefile", required=True,
                    help="output checkpoint directory")
+
+    p = sub.add_parser("export-jld",
+                       help="convert a native checkpoint into a "
+                            "reference-style Knet JLD file (the reverse "
+                            "of import-jld; joint checkpoints export "
+                            "the decoder, matching lrcn.jl:185)")
+    p.add_argument("checkpoint", help="native checkpoint directory")
+    p.add_argument("--out", required=True, help="output .jld path")
 
     p = sub.add_parser("download",
                        help="fetch COCO 2014 / Flickr30k / Karpathy "
@@ -982,6 +992,17 @@ def cmd_import_jld(args) -> int:
     return 0
 
 
+def cmd_export_jld(args) -> int:
+    from lrcn_tpu.data.jld import export_knet_checkpoint
+
+    out = export_knet_checkpoint(args.checkpoint, args.out)
+    cfg, vocab = out["cfg"], out["vocab"]
+    print(f"exported {args.checkpoint}: hidden={tuple(cfg.hidden)} "
+          f"embed={cfg.embed} vocab={len(vocab)} "
+          f"cnn_feature_dim={cfg.cnn_feature_dim} -> {args.out}")
+    return 0
+
+
 def cmd_download(args) -> int:
     from lrcn_tpu.data.download import download_dataset
 
@@ -1130,6 +1151,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         "bleu": cmd_bleu,
         "import-karpathy": cmd_import_karpathy,
         "import-jld": cmd_import_jld,
+        "export-jld": cmd_export_jld,
         "download": cmd_download,
         "serve": cmd_serve,
         "export": cmd_export,

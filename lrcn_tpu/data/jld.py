@@ -241,6 +241,93 @@ def vocab_from_jld(value: Any) -> Vocab:
     return Vocab(by_id[3:])
 
 
+def julia_model_from_params(params: dict) -> list:
+    """Native param pytree -> the reference's flat 9-array list.
+
+    Julia orientation, biases as the reference's ``(1, n)`` row matrices
+    (initweights, lrcn.jl:499-508).  Inverse of
+    :func:`knet_params_from_model` — gate order and packing already
+    match, so no permutation happens in either direction.
+    """
+    row = lambda b: np.asarray(b, np.float32).reshape(1, -1)
+    mat = lambda a: np.asarray(a, np.float32)
+    return [
+        mat(params["lstm1"]["w"]), row(params["lstm1"]["b"]),
+        mat(params["lstm2"]["w"]), row(params["lstm2"]["b"]),
+        mat(params["w_factor"]), mat(params["w_cnn"]),
+        mat(params["embedding"]), mat(params["w_out"]),
+        row(params["b_out"]),
+    ]
+
+
+def julia_vocab_map(vocab: Vocab) -> dict[str, int]:
+    """Word -> 1-based id, reserved eos/bos/unk landing at 1/2/3 —
+    exactly the reference's reserved-slot protocol (tokenizer.jl:157-159)
+    under the Julia 1-based <- Python 0-based shift."""
+    return {w: i + 1 for i, w in enumerate(vocab.words)}
+
+
+def write_jld(path: str, model_julia: list,
+              vocab_map: dict[str, int]) -> None:
+    """Write ``model``/``vocab`` to the JLD v1 on-disk conventions the
+    reference's checkpoints use (lrcn.jl:185): Julia arrays land in HDF5
+    with dims REVERSED (column-major -> row-major), ``Array{Any}`` is a
+    dataset of object references, and the Dict is an
+    ``AssociativeWrapper`` compound whose keys/vals fields reference the
+    key and value vectors.  Same caveat as the reader (module
+    docstring): built to the JLD spec — no Julia in this sandbox to
+    cross-write with JLD.jl itself."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        refs = f.create_group("_refs")
+        mrefs = []
+        for i, a in enumerate(model_julia):
+            d = refs.create_dataset(
+                f"m{i}", data=np.ascontiguousarray(np.transpose(a)))
+            d.attrs["julia type"] = np.bytes_(
+                f"Array{{Float32,{a.ndim}}}")
+            mrefs.append(d.ref)
+        f.create_dataset("model",
+                         data=np.array(mrefs, dtype=h5py.ref_dtype))
+        words = list(vocab_map)
+        kd = refs.create_dataset(
+            "vocab_keys",
+            data=np.array(words, dtype=h5py.string_dtype()))
+        vd = refs.create_dataset(
+            "vocab_vals",
+            data=np.array([vocab_map[w] for w in words], np.int64))
+        comp = np.dtype([("keys", h5py.ref_dtype),
+                         ("vals", h5py.ref_dtype)])
+        dv = f.create_dataset("vocab",
+                              data=np.array((kd.ref, vd.ref), dtype=comp))
+        dv.attrs["julia type"] = np.bytes_(
+            "JLD.AssociativeWrapper{String,Int64,Dict{String,Int64}}")
+
+
+def export_knet_checkpoint(ckpt_dir: str, jld_path: str) -> dict[str, Any]:
+    """Convert a native checkpoint directory into a reference-style JLD
+    file (the reverse of :func:`import_knet_checkpoint`) so a model
+    trained here can be taken back to the reference stack.
+
+    Returns {'params', 'vocab', 'cfg'} (what was exported).  The pair is
+    round-trip exact: ``import_knet_checkpoint(export(...))`` recovers
+    bit-equal parameters and the identical vocab.
+    """
+    from lrcn_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(ckpt_dir)
+    params = ckpt["params"]
+    if set(params) == {"cnn", "decoder"}:
+        # joint (--joint fine-tune) checkpoint: the reference's model.jld
+        # is decoder-only (lrcn.jl:185), so the fine-tuned encoder stays
+        # behind — the decoder alone is what the reference can load
+        params = params["decoder"]
+    write_jld(jld_path, julia_model_from_params(params),
+              julia_vocab_map(ckpt["vocab"]))
+    return {"params": params, "vocab": ckpt["vocab"], "cfg": ckpt["cfg"]}
+
+
 def import_knet_checkpoint(jld_path: str, out_dir: str) -> dict[str, Any]:
     """Convert a reference JLD checkpoint into a native checkpoint dir.
 

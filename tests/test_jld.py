@@ -18,55 +18,21 @@ import jax  # noqa: E402
 from lrcn_tpu.config import LRCNConfig  # noqa: E402
 from lrcn_tpu.core.vocab import Vocab  # noqa: E402
 from lrcn_tpu.data.jld import (  # noqa: E402
+    export_knet_checkpoint,
     import_knet_checkpoint,
     knet_params_from_model,
     read_jld,
     vocab_from_jld,
+    write_jld,
 )
 from lrcn_tpu.models import lrcn as lrcn_model  # noqa: E402
 from lrcn_tpu.train.checkpoint import load_checkpoint  # noqa: E402
 
 
-def params_to_julia_model(params) -> list:
-    """Our param pytree -> the reference's flat 9-array list (Julia
-    orientation; biases as the reference's (1, n) row matrices)."""
-    row = lambda b: np.asarray(b).reshape(1, -1)
-    return [
-        np.asarray(params["lstm1"]["w"]), row(params["lstm1"]["b"]),
-        np.asarray(params["lstm2"]["w"]), row(params["lstm2"]["b"]),
-        np.asarray(params["w_factor"]), np.asarray(params["w_cnn"]),
-        np.asarray(params["embedding"]), np.asarray(params["w_out"]),
-        row(params["b_out"]),
-    ]
-
-
-def write_jld(path, model_julia, vocab_map) -> None:
-    """Write a JLD-v1-convention file: Julia arrays land in HDF5 with
-    dims REVERSED (column-major -> row-major), Array{Any} is a dataset
-    of object references, Dict is an AssociativeWrapper compound whose
-    keys/vals fields reference the key/value vectors."""
-    with h5py.File(path, "w") as f:
-        refs = f.create_group("_refs")
-        mrefs = []
-        for i, a in enumerate(model_julia):
-            d = refs.create_dataset(
-                f"m{i}", data=np.ascontiguousarray(np.transpose(a)))
-            mrefs.append(d.ref)
-        f.create_dataset("model",
-                         data=np.array(mrefs, dtype=h5py.ref_dtype))
-        words = list(vocab_map)
-        kd = refs.create_dataset(
-            "vocab_keys",
-            data=np.array(words, dtype=h5py.string_dtype()))
-        vd = refs.create_dataset(
-            "vocab_vals",
-            data=np.array([vocab_map[w] for w in words], np.int64))
-        comp = np.dtype([("keys", h5py.ref_dtype),
-                         ("vals", h5py.ref_dtype)])
-        dv = f.create_dataset("vocab",
-                              data=np.array((kd.ref, vd.ref), dtype=comp))
-        dv.attrs["julia type"] = np.bytes_(
-            "JLD.AssociativeWrapper{String,Int64,Dict{String,Int64}}")
+# the writer lives in the module now (export-jld uses it);
+# params_to_julia_model is the module's julia_model_from_params
+from lrcn_tpu.data.jld import julia_model_from_params \
+    as params_to_julia_model  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -201,6 +167,64 @@ def test_import_rejects_wrong_files(tmp_path, small_model):
     write_jld(jld, model, julia_vocab_map(Vocab(["only", "four", "w"])))
     with pytest.raises(ValueError, match="do not belong together"):
         import_knet_checkpoint(jld, str(tmp_path / "o2"))
+
+
+def test_export_import_roundtrip_exact(tmp_path, small_model):
+    """export-jld -> import-jld recovers bit-equal params and the
+    identical vocab (the reverse-migration contract)."""
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    params, vocab, cfg = small_model
+    src = str(tmp_path / "native_ckpt")
+    save_checkpoint(src, params, vocab, cfg)
+
+    jld = str(tmp_path / "exported.jld")
+    export_knet_checkpoint(src, jld)
+    back = str(tmp_path / "reimported")
+    import_knet_checkpoint(jld, back)
+    loaded = load_checkpoint(back)
+    assert loaded["vocab"].words == vocab.words
+    flat_a = jax.tree.leaves(loaded["params"])
+    flat_b = jax.tree.leaves(params)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_export_jld_joint_checkpoint_exports_decoder(tmp_path, small_model):
+    """A --joint checkpoint (params = {cnn, decoder}) exports its
+    decoder — the reference's model.jld is decoder-only (lrcn.jl:185)."""
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    params, vocab, cfg = small_model
+    joint = {"cnn": {"fc7": {"w": np.ones((3, 12), np.float32),
+                             "b": np.zeros(12, np.float32)}},
+             "decoder": params}
+    src = str(tmp_path / "joint_ckpt")
+    save_checkpoint(src, joint, vocab, cfg)
+
+    jld = str(tmp_path / "exported.jld")
+    out = export_knet_checkpoint(src, jld)
+    assert set(out["params"]) == set(params)
+    model = read_jld(jld)["model"]
+    got, _ = knet_params_from_model(model)
+    for key in ("w_factor", "w_cnn", "embedding", "w_out", "b_out"):
+        np.testing.assert_array_equal(got[key], params[key])
+
+
+def test_cli_export_jld(tmp_path, small_model, capsys):
+    from lrcn_tpu import cli
+    from lrcn_tpu.train.checkpoint import save_checkpoint
+
+    params, vocab, cfg = small_model
+    src = str(tmp_path / "ckpt")
+    save_checkpoint(src, params, vocab, cfg)
+    jld = str(tmp_path / "m.jld")
+    assert cli.main(["export-jld", src, "--out", jld]) == 0
+    assert "vocab=24" in capsys.readouterr().out
+    # and the reference-convention layout reads back
+    vals = read_jld(jld)
+    assert isinstance(vals["model"], list) and len(vals["model"]) == 9
 
 
 def test_vocab_from_plain_group_layout():
