@@ -88,9 +88,16 @@ class CaptionService:
                     f"{encode_batch} must be divisible by the mesh's "
                     f"data axis ({n_data}) so every chip gets equal "
                     f"batch rows")
+        # feature decodes burst too: a backlog coalesces into up to
+        # MAX_DECODE_GROUPS compiled batches drained in ONE scanned
+        # dispatch, mirroring the id path below (items are already
+        # normalized by every caller, so the grouped fn skips its
+        # normalize; <= one batch delegates to _decode_fn unchanged)
         self._decode = DynamicBatcher(
-            self._decode_fn, finalize=self._decode_finalize,
-            max_batch=decode_batch, max_wait_ms=max_wait_ms,
+            lambda rows: self._decode_feats_grouped(rows, normalized=True),
+            finalize=self._decode_finalize,
+            max_batch=decode_batch * self.MAX_DECODE_GROUPS,
+            max_wait_ms=max_wait_ms,
             name="decode", max_queue=max_queue)
         # HBM-resident feature table: caption-by-id requests then ship
         # int32 row indices (4 B each) instead of fc7 rows (16 KB each)
@@ -222,19 +229,25 @@ class CaptionService:
         tokens.copy_to_host_async()
         return n, tokens
 
-    def _decode_feats_grouped(self, rows: np.ndarray):
+    def _decode_feats_grouped(self, rows: np.ndarray,
+                              normalized: bool = False):
         """ISSUE up to MAX_DECODE_GROUPS batches of raw-feature decodes
-        in ONE scanned dispatch (the native front-end's feature path —
-        burst absorption for external-encoder deployments, mirroring
-        ``_decode_rows_grouped`` for ids).
+        in ONE scanned dispatch (burst absorption for the native
+        front-end's feature path AND the Python decode batcher,
+        mirroring ``_decode_rows_grouped`` for ids).
 
-        Rows are L1-normalized here, exactly like ``caption_features``
-        (the reference's live path, lrcn.jl:597); pre-normalized rows
-        re-normalize to themselves."""
+        With ``normalized=False`` rows are L1-normalized here, exactly
+        like ``caption_features`` (the reference's live path,
+        lrcn.jl:597).  The Python batcher passes ``normalized=True`` —
+        its callers (caption_features, the encode stage) normalize
+        exactly once already, and re-normalizing would perturb the low
+        bits against the per-batch path."""
         from lrcn_tpu.decode.beam import beam_search_scan, \
             greedy_search_scan
 
-        rows = l1_normalize(np.asarray(rows, np.float32))
+        rows = np.asarray(rows, np.float32)
+        if not normalized:
+            rows = l1_normalize(rows)
         n = len(rows)
         b = self.decode_batch
         g = max(1, -(-n // b))
@@ -414,6 +427,7 @@ class CaptionService:
             [self._decode.submit(
                 np.zeros(self.cfg.cnn_feature_dim, np.float32))],
             timeout_s=timeout_s)
+        self.warmup_feature_burst_shapes()
         if self._rows_batcher is not None:
             self._await_all([self._rows_batcher.submit(0)],
                             timeout_s=timeout_s)

@@ -234,6 +234,55 @@ def test_service_burst_depth_configurable(tiny_model):
                        compute_dtype=jnp.float32, max_burst_groups=0)
 
 
+def test_feature_path_bursts_beyond_one_batch(tiny_model):
+    """The Python decode batcher drains feature backlogs through the
+    grouped scanned dispatch: a burst deeper than ``decode_batch``
+    coalesces past one compiled batch, with output identical to the
+    offline decoder (the asymmetry the id path / native front-end
+    already closed)."""
+    cfg, vocab, params = tiny_model
+    svc = CaptionService(cfg, params, vocab, beam_width=2, max_words=8,
+                        decode_batch=2, max_wait_ms=150.0,
+                        compute_dtype=jnp.float32)
+    try:
+        svc.warmup()
+        rng = np.random.default_rng(11)
+        feats = np.abs(rng.standard_normal(
+            (7, cfg.cnn_feature_dim))).astype(np.float32)
+        feats /= feats.sum(axis=1, keepdims=True)
+        tokens, _ = beam_search(params, jnp.asarray(feats), beam_width=2,
+                                max_words=8, compute_dtype=jnp.float32)
+        offline = [caption_to_line(np.asarray(tokens)[i], vocab)
+                   for i in range(len(feats))]
+
+        # deterministic: the grouped dispatch itself matches offline
+        grouped = svc._decode_finalize(
+            svc._decode_feats_grouped(feats, normalized=True))
+        assert grouped == offline
+
+        # end to end: concurrent caption_features calls coalesce into
+        # batches bigger than one compiled decode batch
+        results = {}
+
+        def client(i):
+            results[i] = svc.caption_features([feats[i]])[0]
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(feats))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert [results[i] for i in range(len(feats))] == offline
+        stats = svc.stats()["decode"]
+        # 7 requests + 1 warmup submit; a per-batch drain would need
+        # >= ceil(7/2)+1 = 5 batches, the burst drain far fewer
+        assert stats["batches"] <= 4, stats
+        assert stats["mean_batch_size"] > 1.0, stats
+    finally:
+        svc.close()
+
+
 def test_service_concurrent_requests_batch(tiny_model):
     cfg, vocab, params = tiny_model
     store = _make_store(cfg)
