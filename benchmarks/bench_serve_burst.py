@@ -73,6 +73,19 @@ def drain_grouped(svc, rows):
     return svc._decode_finalize(svc._decode_rows_grouped(rows))
 
 
+def drain_feats_per_batch(svc, feats):
+    """Per-batch raw-feature dispatch (the pre-round-4 feature drain)."""
+    b = svc.decode_batch
+    raws = [svc._decode_fn(list(feats[s:s + b]))
+            for s in range(0, len(feats), b)]
+    return [c for raw in raws for c in svc._decode_finalize(raw)]
+
+
+def drain_feats_grouped(svc, feats):
+    return svc._decode_finalize(
+        svc._decode_feats_grouped(feats, normalized=True))
+
+
 def timeit(fn, n=5):
     fn()                     # warm (compiled already by warmup)
     t0 = time.perf_counter()
@@ -116,6 +129,27 @@ def main():
     dt = (time.perf_counter() - t0) / 5
     print(f"  batcher submit path ({n} ids/burst): {n/dt:>9,.0f} "
           f"captions/s ({dt*1e3:.1f} ms)")
+
+    # raw-feature path (uploads fc7 rows instead of table indices —
+    # external-encoder deployments; the grouped fn also backs the
+    # Python decode batcher since round 4)
+    feats_arr = np.stack([svc.store.get(i % 1024) for i in range(n)])
+    svc._decode_finalize(         # warm the grouped feats shape
+        svc._decode_feats_grouped(feats_arr, normalized=True))
+    out_a, dt_a = timeit(lambda: drain_feats_per_batch(svc, feats_arr))
+    out_b, dt_b = timeit(lambda: drain_feats_grouped(svc, feats_arr))
+    assert out_a == out_b, "grouped feats drain must be token-exact"
+    print(f"  feats per-batch drain: {n/dt_a:>9,.0f} captions/s "
+          f"({dt_a*1e3:.1f} ms)")
+    print(f"  feats grouped drain:   {n/dt_b:>9,.0f} captions/s "
+          f"({dt_b*1e3:.1f} ms)  ({dt_a/dt_b:.2f}x)")
+    svc.caption_features(list(feats_arr[:b]))    # warm the submit path
+    t0 = time.perf_counter()
+    for _ in range(5):
+        svc.caption_features(list(feats_arr))
+    dt = (time.perf_counter() - t0) / 5
+    print(f"  feats batcher submit path ({n} rows/burst): "
+          f"{n/dt:>9,.0f} captions/s ({dt*1e3:.1f} ms)")
     svc.close()
 
 
