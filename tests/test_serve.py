@@ -338,6 +338,12 @@ def test_service_on_mesh_matches_single_device(tiny_model):
         grouped = sharded._decode_finalize(
             sharded._decode_rows_grouped(rows))
         assert grouped == single.caption_ids(burst)
+        # same for the raw-feature grouped path (feats shard
+        # P(None, 'data') under the mesh)
+        feats = np.stack([store.get(i) for i in burst])
+        feats_grouped = sharded._decode_finalize(
+            sharded._decode_feats_grouped(feats, normalized=True))
+        assert feats_grouped == single.caption_features(list(feats))
     finally:
         sharded.close()
         single.close()
