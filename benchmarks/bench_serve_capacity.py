@@ -66,7 +66,7 @@ def build_service(tiny=False, burst_groups=None, mesh_n=None):
 
 
 def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
-                rate_rps=0.0):
+                rate_rps=0.0, feat_dim=0):
     """Run one loadgen point; also meter THIS process's CPU (the server
     lives in-process: Python pump + C++ connection threads), so each
     point reports how much of the knee is host CPU rather than device.
@@ -81,7 +81,7 @@ def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
     # the JSON for every prior point exactly when the server stalls
     out = subprocess.run(
         [exe, "127.0.0.1", str(port), str(conns), str(duration),
-         str(max_id), str(ids_per_req), str(rate_rps)],
+         str(max_id), str(ids_per_req), str(rate_rps), str(feat_dim)],
         capture_output=True, text=True, timeout=duration + 240)
     wall = time.monotonic() - t0
     ru1 = resource.getrusage(resource.RUSAGE_SELF)
@@ -94,7 +94,8 @@ def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
     return r
 
 
-def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req):
+def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req,
+               feat_dim=0):
     """OPEN-LOOP latency-vs-load: fixed offered rates, latency measured
     from each request's scheduled time (wrk2-style — queueing delay on
     an overloaded server grows the tail instead of silently shedding
@@ -106,11 +107,12 @@ def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req):
           f"{'p90 ms':>8} {'p99 ms':>8} {'errors':>7} {'cli CPU':>8} "
           f"{'srv CPU':>8}")
     results = []
-    run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req)   # warm
+    run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req,
+                feat_dim=feat_dim)   # warm
     for rate in rate_list:
         r = run_loadgen(exe, port, conns, duration,
                         ids_per_req=ids_per_req,
-                        rate_rps=rate / ids_per_req)
+                        rate_rps=rate / ids_per_req, feat_dim=feat_dim)
         util = (r["cpu_user_s"] + r["cpu_sys_s"]) / (r["wall_s"] * ncores)
         flag = "  <-- client-bound!" if util >= 0.8 else ""
         if util + r["server_cpu_util"] >= 0.9:
@@ -136,19 +138,22 @@ def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req):
     return results
 
 
-def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn):
+def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn,
+          feat_dim=0):
     ncores = os.cpu_count() or 1
+    kind = f"features[{feat_dim}]" if feat_dim else "ids"
     print(f"\n=== {name} frontend: closed-loop C++ clients, "
-          f"{duration}s per point, ids_per_req={ids_per_req} ===")
+          f"{duration}s per point, {kind}, per_req={ids_per_req} ===")
     print(f"{'conns':>6} {'captions/s':>12} {'p50 ms':>8} {'p90 ms':>8} "
           f"{'p99 ms':>8} {'errors':>7} {'cli CPU':>8} {'srv CPU':>8}")
     best = None
     results = []
-    run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req)   # warm
+    run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req,
+                feat_dim=feat_dim)   # warm
     for conns in conns_list:
         before = stats_fn()
         r = run_loadgen(exe, port, conns, duration,
-                        ids_per_req=ids_per_req)
+                        ids_per_req=ids_per_req, feat_dim=feat_dim)
         after = stats_fn()
         util = (r["cpu_user_s"] + r["cpu_sys_s"]) / (r["wall_s"] * ncores)
         # native /stats exports 'items'; the Python batcher snapshot
@@ -200,6 +205,10 @@ def main():
     ap.add_argument("--mesh", type=int, default=None, metavar="N",
                     help="serve over an (N, 1) device mesh (batch rows "
                          "shard along 'data')")
+    ap.add_argument("--features", action="store_true",
+                    help="POST raw fc7 feature bodies instead of ids "
+                         "(the external-encoder deployment; rows parsed "
+                         "in C++, grouped feature drain)")
     args = ap.parse_args()
     conns_list = [int(c) for c in args.sweep.split(",")]
     rate_list = ([int(r) for r in args.rate_sweep.split(",")]
@@ -213,6 +222,7 @@ def main():
 
     svc = build_service(tiny=args.tiny, burst_groups=args.burst_groups,
                         mesh_n=args.mesh)
+    feat_dim = svc.cfg.cnn_feature_dim if args.features else 0
     all_results = {}
 
     if args.which in ("python", "both"):
@@ -224,12 +234,14 @@ def main():
         if rate_list:
             all_results["python"] = rate_sweep(
                 exe, port, "python", rate_list, args.conns,
-                args.duration, args.ids_per_req)
+                args.duration, args.ids_per_req, feat_dim=feat_dim)
         else:
             all_results["python"] = sweep(
                 exe, port, "python", conns_list, args.duration,
                 args.ids_per_req,
-                lambda: svc.stats().get("decode_ids", {}))
+                lambda: svc.stats().get(
+                    "decode" if feat_dim else "decode_ids", {}),
+                feat_dim=feat_dim)
         server.shutdown()
         server.server_close()
 
@@ -254,11 +266,11 @@ def main():
         if rate_list:
             all_results["native"] = rate_sweep(
                 exe, fe.port, "native", rate_list, args.conns,
-                args.duration, args.ids_per_req)
+                args.duration, args.ids_per_req, feat_dim=feat_dim)
         else:
             all_results["native"] = sweep(
                 exe, fe.port, "native", conns_list, args.duration,
-                args.ids_per_req, native_stats)
+                args.ids_per_req, native_stats, feat_dim=feat_dim)
         fe.stop()
 
     svc.close()

@@ -132,8 +132,8 @@ int read_response(int fd, std::string& buf, bool* server_closes) {
 // as exploding schedule-relative latency, never as silently dropped
 // offered load (the wrk2 contract).  sched_end_us == 0: closed loop.
 void worker(const char* host, int port, int tid, long max_id,
-            int ids_per_req, long interval_us, long offset_us,
-            long sched_end_us,
+            int ids_per_req, int feat_dim, long interval_us,
+            long offset_us, long sched_end_us,
             std::chrono::steady_clock::time_point t_start,
             WorkerStats* out) {
     WorkerStats st;
@@ -142,6 +142,29 @@ void worker(const char* host, int port, int tid, long max_id,
     int fd = dial(host, port);
     std::string buf;
     uint64_t x = 0x9E3779B97F4A7C15ull * (uint64_t)(tid + 1);
+    // feature mode: PRE-BUILD a small pool of request bodies (a 4096-d
+    // row is ~25 KB of JSON — formatting it per request would make the
+    // CLIENT the bottleneck; the server normalizes, so reuse is fine)
+    std::vector<std::string> feat_bodies;
+    if (feat_dim > 0) {
+        for (int v = 0; v < 4; v++) {
+            std::string b = "{\"features\": [";
+            for (int r = 0; r < (ids_per_req < 1 ? 1 : ids_per_req); r++) {
+                if (r) b += ",";
+                b += "[";
+                for (int d = 0; d < feat_dim; d++) {
+                    x += 0x9E3779B97F4A7C15ull;
+                    uint64_t z = x;
+                    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+                    if (d) b += ",";
+                    b += std::to_string((unsigned)(z % 997) * 1e-3);
+                }
+                b += "]";
+            }
+            b += "]}";
+            feat_bodies.push_back(std::move(b));
+        }
+    }
     // t_start is the SHARED schedule epoch from main: anchoring to this
     // thread's own start time would smear the global arrival schedule
     // by the thread-spawn stagger (and flatter schedule-relative
@@ -170,7 +193,10 @@ void worker(const char* host, int port, int tid, long max_id,
         }
         // splitmix64 id stream, unique per thread
         std::string body;
-        if (ids_per_req <= 1) {
+        if (feat_dim > 0) {
+            x += 0x9E3779B97F4A7C15ull;
+            body = feat_bodies[(size_t)(x % feat_bodies.size())];
+        } else if (ids_per_req <= 1) {
             x += 0x9E3779B97F4A7C15ull;
             uint64_t z = x;
             z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
@@ -253,7 +279,10 @@ int main(int argc, char** argv) {
     if (argc < 6) {
         std::fprintf(stderr,
             "usage: %s HOST PORT N_CONNS DURATION_S MAX_ID "
-            "[IDS_PER_REQ] [RATE_RPS]\n", argv[0]);
+            "[IDS_PER_REQ] [RATE_RPS] [FEAT_DIM]\n"
+            "  FEAT_DIM > 0: POST {\"features\": [[...], ...]} bodies "
+            "(IDS_PER_REQ rows of FEAT_DIM floats) instead of ids\n",
+            argv[0]);
         return 2;
     }
     const char* host = argv[1];
@@ -263,6 +292,7 @@ int main(int argc, char** argv) {
     long max_id = std::atol(argv[5]);
     int ids_per_req = argc > 6 ? std::atoi(argv[6]) : 1;
     double rate_rps = argc > 7 ? std::atof(argv[7]) : 0.0;
+    int feat_dim = argc > 8 ? std::atoi(argv[8]) : 0;
 
     // open-loop: each connection fires every n_conns/rate seconds,
     // staggered so GLOBAL arrivals are uniform at rate_rps
@@ -277,7 +307,7 @@ int main(int argc, char** argv) {
     long sched_end_us = (long)(duration_s * 1e6);
     for (int i = 0; i < n_conns; i++)
         threads.emplace_back(worker, host, port, i, max_id, ids_per_req,
-                             interval_us,
+                             feat_dim, interval_us,
                              interval_us > 0
                                  ? (long)((double)interval_us * i /
                                           n_conns)
