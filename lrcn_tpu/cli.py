@@ -14,7 +14,8 @@ lrcn.jl:30-55).  Here the same capabilities are subcommands:
     lrcn import-jld       convert a reference Knet JLD checkpoint
                           (lrcn.jl:185) into a native checkpoint
     lrcn export-jld       the reverse: a native checkpoint back to a
-                          reference-loadable JLD file
+                          JLD-0.1-format file (JLD.jl conventions; not
+                          cross-checked against a live jldopen)
     lrcn download         download_data.sh / karpathy_features.sh
     lrcn serve            online caption service (new surface — the
                           reference only generates offline)

@@ -24,9 +24,30 @@ reference's Julia-0.5-era stack wrote):
 The reader below follows references and compounds generically, so it
 tolerates layout variations (group-style composites, plain datasets) and
 fails with a precise message when a file doesn't hold what a reference
-checkpoint must.  Caveat: this sandbox has no Julia, so the reader is
-exercised against files built to the JLD v1 conventions above rather
-than files written by JLD.jl itself.
+checkpoint must.  The writer reproduces the full JLD.jl 0.1.x on-disk
+format so JLD.jl/FileIO can recognize and load the export:
+
+- a 512-byte HDF5 userblock whose first bytes are the magic string
+  ``Julia data file (HDF5), version: 0.1.1`` (JLD.jl checks this before
+  opening, and FileIO's format sniffing dispatches on it);
+- ``/_refs`` holding the referenced objects under sequential decimal
+  names (``1``, ``2``, ...) the way JLD.jl's write_ref counter names
+  them;
+- ``/_types`` holding COMMITTED (named) compound datatypes, each
+  carrying a ``julia type`` string attribute with the full typename —
+  JLD.jl resolves a compound dataset's Julia type from the committed
+  datatype's attribute, not from the dataset;
+- a ``julia type`` string attribute (``Array{Any,1}``) on
+  reference-array datasets (bits-type arrays are self-describing and
+  carry no attribute);
+- ``/_creator`` bookkeeping datasets (JULIA_MAJOR/MINOR/PATCH,
+  WORD_SIZE, ENDIAN_BOM).
+
+Caveat: this sandbox has no Julia, so the format is implemented from
+JLD.jl's published conventions and validated by our own reader plus raw
+HDF5/byte-level tests, not by a live ``jldopen`` — see
+docs/MIGRATION.md for the first-contact checklist if JLD.jl still
+rejects a file.
 
 Parameter-list layout (reference ``initweights``, lrcn.jl:489-510) and
 the mapping to :mod:`lrcn_tpu.models.lrcn` params — gate order
@@ -80,9 +101,16 @@ def _read_value(f, obj) -> Any:
         return _read_value(f, f[obj])
     if isinstance(obj, h5py.Group):
         return {k: _read_value(f, v) for k, v in obj.items()}
+    if isinstance(obj, h5py.Datatype):   # committed type (JLD /_types)
+        return None
 
     dt = obj.dtype
     data = obj[()]
+    if isinstance(data, h5py.Empty):     # H5S_NULL: Julia zero-size array
+        dims = obj.attrs.get("dims")     # JLD stores Julia-order dims here
+        shape = tuple(int(d) for d in np.asarray(dims).reshape(-1)) \
+            if dims is not None else (0,)
+        return np.zeros(shape, dtype=dt if not dt.names else np.float32)
 
     if dt.names:                         # compound (JLD composite type)
         rec = data if data.shape == () else data.reshape(-1)[0]
@@ -113,6 +141,52 @@ def read_jld(path: str) -> dict[str, Any]:
                 continue
             out[name] = _read_value(f, obj)
     return out
+
+
+def _describe_node(obj) -> str:
+    import h5py
+
+    if isinstance(obj, h5py.Group):
+        return f"group with {len(obj)} members"
+    if isinstance(obj, h5py.Datatype):
+        return "committed datatype"
+    dt = obj.dtype
+    if dt.names:
+        kind = f"compound({', '.join(dt.names)})"
+    elif h5py.check_ref_dtype(dt):
+        kind = "object references"
+    elif h5py.check_string_dtype(dt):
+        kind = "strings"
+    else:
+        kind = str(dt)
+    jt = obj.attrs.get("julia type")
+    tail = f" [julia type: {_decode_str(jt)}]" if jt is not None else ""
+    return f"dataset {kind} shape={tuple(obj.shape or ())}{tail}"
+
+
+def describe_jld(path: str) -> str:
+    """One-line-per-entry dump of a JLD/HDF5 file's top-level structure
+    — attached to every import error so first-contact failures are
+    diagnosable from the message alone (docs/MIGRATION.md checklist)."""
+    import h5py
+
+    lines = []
+    try:
+        with h5py.File(path, "r") as f:
+            ub = f.id.get_create_plist().get_userblock()
+            magic = ""
+            if ub:
+                with open(path, "rb") as raw:
+                    head = raw.read(64).split(b"\x00", 1)[0]
+                magic = f" userblock[{ub}]={head.decode('latin1')!r}"
+            lines.append(f"{path}: HDF5{magic}")
+            for name in f:
+                lines.append(f"  /{name}: {_describe_node(f[name])}")
+            if not len(f):
+                lines.append("  (no top-level entries)")
+    except OSError as e:
+        lines.append(f"{path}: not readable as HDF5 ({e})")
+    return "\n".join(lines)
 
 
 def _as_matrix(x: Any, what: str) -> np.ndarray:
@@ -267,42 +341,81 @@ def julia_vocab_map(vocab: Vocab) -> dict[str, int]:
     return {w: i + 1 for i, w in enumerate(vocab.words)}
 
 
+#: JLD.jl magic: first bytes of the 512-byte HDF5 userblock.  0.1.1 is
+#: the format version the reference-era JLD.jl (Julia 0.5/0.6) wrote;
+#: any 0.1.x parses identically in every JLD.jl release.
+JLD_MAGIC = b"Julia data file (HDF5), version: 0.1.1"
+_ASSOC_TYPENAME = "JLD.AssociativeWrapper{String,Int64,Dict{String,Int64}}"
+
+
 def write_jld(path: str, model_julia: list,
               vocab_map: dict[str, int]) -> None:
-    """Write ``model``/``vocab`` to the JLD v1 on-disk conventions the
-    reference's checkpoints use (lrcn.jl:185): Julia arrays land in HDF5
-    with dims REVERSED (column-major -> row-major), ``Array{Any}`` is a
-    dataset of object references, and the Dict is an
-    ``AssociativeWrapper`` compound whose keys/vals fields reference the
-    key and value vectors.  Same caveat as the reader (module
-    docstring): built to the JLD spec — no Julia in this sandbox to
-    cross-write with JLD.jl itself."""
+    """Write ``model``/``vocab`` in the JLD.jl 0.1.x on-disk format the
+    reference's checkpoints use (lrcn.jl:185) — see the module docstring
+    for the format pieces (userblock magic, numbered ``/_refs``,
+    committed ``/_types`` compound carrying the ``julia type`` attr,
+    ``/_creator``).  Julia arrays land in HDF5 with dims REVERSED
+    (column-major -> row-major); ``Array{Any}`` is a dataset of object
+    references; the Dict is an ``AssociativeWrapper`` scalar compound
+    whose keys/vals fields reference the key and value vectors.  Same
+    caveat as the reader: implemented from JLD.jl's published format —
+    no Julia in this sandbox to cross-check with ``jldopen`` itself."""
     import h5py
 
-    with h5py.File(path, "w") as f:
+    str_t = h5py.string_dtype()
+    with h5py.File(path, "w", userblock_size=512) as f:
+        # /_creator bookkeeping, as JLD.jl records on file creation
+        # (values mirror the reference's Julia-0.5 era; informational).
+        creator = f.create_group("_creator")
+        for name, val in (("JULIA_MAJOR", np.int64(0)),
+                          ("JULIA_MINOR", np.int64(5)),
+                          ("JULIA_PATCH", np.int64(0)),
+                          ("WORD_SIZE", np.int64(64)),
+                          ("ENDIAN_BOM", np.uint32(0x04030201))):
+            creator.create_dataset(name, data=val)
+
+        # /_refs: referenced objects under sequential decimal names —
+        # JLD.jl's write_ref counter naming, in the reference's
+        # save("model", ..., "vocab", ...) write order: the 9 model
+        # arrays (1-9), then the vocab keys (10) and vals (11).
         refs = f.create_group("_refs")
         mrefs = []
         for i, a in enumerate(model_julia):
             d = refs.create_dataset(
-                f"m{i}", data=np.ascontiguousarray(np.transpose(a)))
-            d.attrs["julia type"] = np.bytes_(
-                f"Array{{Float32,{a.ndim}}}")
+                str(i + 1), data=np.ascontiguousarray(np.transpose(a)))
             mrefs.append(d.ref)
-        f.create_dataset("model",
-                         data=np.array(mrefs, dtype=h5py.ref_dtype))
+        dm = f.create_dataset("model",
+                              data=np.array(mrefs, dtype=h5py.ref_dtype))
+        # reference-array datasets carry their Julia type as a string
+        # attribute (bits-type arrays are self-describing and carry none)
+        dm.attrs.create("julia type", "Array{Any,1}", dtype=str_t)
+
         words = list(vocab_map)
         kd = refs.create_dataset(
-            "vocab_keys",
-            data=np.array(words, dtype=h5py.string_dtype()))
+            str(len(model_julia) + 1),
+            data=np.array(words, dtype=str_t))
         vd = refs.create_dataset(
-            "vocab_vals",
+            str(len(model_julia) + 2),
             data=np.array([vocab_map[w] for w in words], np.int64))
+
+        # /_types: the committed compound datatype for the Dict wrapper.
+        # JLD.jl resolves a compound's Julia type by reading the
+        # `julia type` attribute off the COMMITTED datatype, so the
+        # vocab dataset must be created with this named type.
         comp = np.dtype([("keys", h5py.ref_dtype),
                          ("vals", h5py.ref_dtype)])
-        dv = f.create_dataset("vocab",
-                              data=np.array((kd.ref, vd.ref), dtype=comp))
-        dv.attrs["julia type"] = np.bytes_(
-            "JLD.AssociativeWrapper{String,Int64,Dict{String,Int64}}")
+        f["_types/00000001"] = comp
+        tdef = f["_types/00000001"]
+        tdef.attrs.create("julia type", _ASSOC_TYPENAME, dtype=str_t)
+        f.create_dataset("vocab",
+                         data=np.array((kd.ref, vd.ref), dtype=comp),
+                         dtype=tdef)
+
+    # The magic lives in the userblock, ahead of the HDF5 superblock —
+    # JLD.jl checks it in jldopen and FileIO sniffs it to pick the JLD
+    # loader.  h5py can only reserve the block; the bytes go in raw.
+    with open(path, "r+b") as raw:
+        raw.write(JLD_MAGIC.ljust(512, b"\x00"))
 
 
 def export_knet_checkpoint(ckpt_dir: str, jld_path: str) -> dict[str, Any]:
@@ -331,28 +444,38 @@ def export_knet_checkpoint(ckpt_dir: str, jld_path: str) -> dict[str, Any]:
 def import_knet_checkpoint(jld_path: str, out_dir: str) -> dict[str, Any]:
     """Convert a reference JLD checkpoint into a native checkpoint dir.
 
-    Returns {'params', 'vocab', 'cfg'} (what was written).
+    Returns {'params', 'vocab', 'cfg'} (what was written).  Every
+    failure carries the file's top-level structure dump
+    (:func:`describe_jld`) so a migration report is diagnosable from
+    the error message alone.
     """
     from lrcn_tpu.train.checkpoint import save_checkpoint
 
-    values = read_jld(jld_path)
-    missing = [k for k in ("model", "vocab") if k not in values]
-    if missing:
-        raise ValueError(
-            f"{jld_path} has no {'/'.join(missing)} entr"
-            f"{'y' if len(missing) == 1 else 'ies'} — a reference "
-            f"checkpoint stores both (lrcn.jl:185); found: "
-            f"{sorted(values) or 'nothing'}")
-    model = values["model"]
-    if not isinstance(model, list):
-        raise ValueError("the JLD 'model' entry is not an Array{Any} "
-                         f"parameter list (got {type(model).__name__})")
-    params, cfg = knet_params_from_model(model)
-    vocab = vocab_from_jld(values["vocab"])
-    if len(vocab) != cfg.vocab_size:
-        raise ValueError(
-            f"vocab has {len(vocab)} words but the embedding has "
-            f"{cfg.vocab_size} rows — the file's model and vocab do not "
-            "belong together")
+    def fail(msg: str):
+        raise ValueError(f"{msg}\n\nfile structure:\n"
+                         f"{describe_jld(jld_path)}")
+
+    try:
+        values = read_jld(jld_path)
+        missing = [k for k in ("model", "vocab") if k not in values]
+        if missing:
+            raise ValueError(
+                f"{jld_path} has no {'/'.join(missing)} entr"
+                f"{'y' if len(missing) == 1 else 'ies'} — a reference "
+                f"checkpoint stores both (lrcn.jl:185); found: "
+                f"{sorted(values) or 'nothing'}")
+        model = values["model"]
+        if not isinstance(model, list):
+            raise ValueError("the JLD 'model' entry is not an Array{Any} "
+                             f"parameter list (got {type(model).__name__})")
+        params, cfg = knet_params_from_model(model)
+        vocab = vocab_from_jld(values["vocab"])
+        if len(vocab) != cfg.vocab_size:
+            raise ValueError(
+                f"vocab has {len(vocab)} words but the embedding has "
+                f"{cfg.vocab_size} rows — the file's model and vocab do "
+                "not belong together")
+    except (ValueError, OSError, KeyError) as e:
+        fail(str(e))
     save_checkpoint(out_dir, params, vocab, cfg)
     return {"params": params, "vocab": vocab, "cfg": cfg}

@@ -227,6 +227,125 @@ def test_cli_export_jld(tmp_path, small_model, capsys):
     assert isinstance(vals["model"], list) and len(vals["model"]) == 9
 
 
+def test_written_jld_has_jldjl_format_pieces(tmp_path, small_model):
+    """The export carries every piece JLD.jl's jldopen/FileIO dispatch
+    needs: the 512-byte userblock magic, numbered /_refs, a COMMITTED
+    /_types compound with the `julia type` attr (JLD.jl resolves
+    compound types from the committed datatype), the `julia type` attr
+    on the ref-array dataset, and /_creator bookkeeping."""
+    from lrcn_tpu.data.jld import JLD_MAGIC
+
+    params, vocab, _ = small_model
+    jld = str(tmp_path / "m.jld")
+    write_jld(jld, params_to_julia_model(params), julia_vocab_map(vocab))
+
+    with open(jld, "rb") as raw:
+        head = raw.read(512)
+    assert head.startswith(JLD_MAGIC)
+    assert head == JLD_MAGIC.ljust(512, b"\x00")
+
+    with h5py.File(jld, "r") as f:
+        assert f.id.get_create_plist().get_userblock() == 512
+        assert sorted(f["_refs"], key=int) == [str(i) for i in
+                                               range(1, 12)]
+        t = f["_types/00000001"]
+        assert isinstance(t, h5py.Datatype)
+        assert t.attrs["julia type"] == \
+            "JLD.AssociativeWrapper{String,Int64,Dict{String,Int64}}"
+        assert t.dtype.names == ("keys", "vals")
+        dv = f["vocab"]
+        assert dv.shape == ()                      # scalar compound
+        assert h5py.h5d.DatasetID.get_type(dv.id).committed()
+        assert f["model"].attrs["julia type"] == "Array{Any,1}"
+        # bits-type arrays are self-describing: no julia type attr
+        assert "julia type" not in f["_refs/1"].attrs
+        assert {"JULIA_MAJOR", "WORD_SIZE", "ENDIAN_BOM"} <= \
+            set(f["_creator"])
+
+
+def test_import_legacy_convention_layout(tmp_path, small_model):
+    """Files in the pre-round-5 layout (no userblock, named refs,
+    per-element string attrs, dataset-level vocab attr, transient
+    compound type) still import bit-exactly — the reader keys on
+    structure, not bookkeeping."""
+    params, vocab, _ = small_model
+    model = params_to_julia_model(params)
+    jld = str(tmp_path / "legacy.jld")
+    with h5py.File(jld, "w") as f:
+        refs = f.create_group("_refs")
+        mrefs = []
+        for i, a in enumerate(model):
+            d = refs.create_dataset(
+                f"m{i}", data=np.ascontiguousarray(np.transpose(a)))
+            d.attrs["julia type"] = np.bytes_(f"Array{{Float32,{a.ndim}}}")
+            mrefs.append(d.ref)
+        f.create_dataset("model", data=np.array(mrefs,
+                                                dtype=h5py.ref_dtype))
+        vm = julia_vocab_map(vocab)
+        kd = refs.create_dataset("vocab_keys", data=np.array(
+            list(vm), dtype=h5py.string_dtype()))
+        vd = refs.create_dataset("vocab_vals", data=np.array(
+            list(vm.values()), np.int64))
+        comp = np.dtype([("keys", h5py.ref_dtype),
+                         ("vals", h5py.ref_dtype)])
+        dv = f.create_dataset("vocab", data=np.array((kd.ref, vd.ref),
+                                                     dtype=comp))
+        dv.attrs["julia type"] = np.bytes_("JLD.AssociativeWrapper")
+    out = import_knet_checkpoint(jld, str(tmp_path / "ckpt"))
+    assert out["vocab"].words == vocab.words
+    np.testing.assert_array_equal(out["params"]["w_out"], params["w_out"])
+
+
+def test_import_tolerates_jldjl_bookkeeping(tmp_path, small_model):
+    """Real JLD.jl files carry /_require, /_creator, committed /_types,
+    1-element compound dataspaces, and H5S_NULL empty arrays — none of
+    which may break the import."""
+    params, vocab, _ = small_model
+    jld = str(tmp_path / "full.jld")
+    write_jld(jld, params_to_julia_model(params), julia_vocab_map(vocab))
+    with h5py.File(jld, "a") as f:
+        f.create_dataset("_require", data=np.array(
+            ["SomeUserModule.jl"], dtype=h5py.string_dtype()))
+        # an unrelated empty Julia array (H5S_NULL + dims attr)
+        d = f.create_dataset("scratch", shape=None, dtype=np.float32,
+                             data=h5py.Empty(np.float32))
+        d.attrs["dims"] = np.array([0, 4], np.int64)
+    vals = read_jld(jld)
+    assert vals["scratch"].shape == (0, 4)
+    out = import_knet_checkpoint(jld, str(tmp_path / "ckpt"))
+    assert out["vocab"].words == vocab.words
+
+    # 1-element (non-scalar) compound dataspace variant for the vocab
+    jld2 = str(tmp_path / "vec.jld")
+    write_jld(jld2, params_to_julia_model(params), julia_vocab_map(vocab))
+    with h5py.File(jld2, "a") as f:
+        comp = f["vocab"].dtype
+        rec = f["vocab"][()]
+        del f["vocab"]
+        f.create_dataset("vocab", data=np.array([rec], dtype=comp))
+    out2 = import_knet_checkpoint(jld2, str(tmp_path / "ckpt2"))
+    assert out2["vocab"].words == vocab.words
+
+
+def test_import_error_dumps_structure(tmp_path):
+    """Every import failure ends with the file's top-level structure —
+    the MIGRATION.md first-contact report is the error message."""
+    jld = str(tmp_path / "odd.jld")
+    with h5py.File(jld, "w") as f:
+        f.create_dataset("weights", data=np.zeros((3, 3), np.float32))
+    with pytest.raises(ValueError) as ei:
+        import_knet_checkpoint(jld, str(tmp_path / "o"))
+    msg = str(ei.value)
+    assert "file structure:" in msg
+    assert "/weights: dataset float32 shape=(3, 3)" in msg
+
+    noth5 = str(tmp_path / "not.jld")
+    with open(noth5, "w") as fh:
+        fh.write("plain text")
+    with pytest.raises(ValueError, match="not readable as HDF5"):
+        import_knet_checkpoint(noth5, str(tmp_path / "o2"))
+
+
 def test_vocab_from_plain_group_layout():
     """Group-style dict reads (a {word: id} mapping) also work — the
     reader is layout-tolerant."""
