@@ -29,7 +29,8 @@ import time
 import numpy as np
 
 
-def build_service(tiny=False, burst_groups=None, mesh_n=None):
+def build_service(tiny=False, burst_groups=None, mesh_n=None,
+                  with_encoder=False, encode_batch=8):
     import jax
 
     from lrcn_tpu.config import LRCNConfig
@@ -55,9 +56,19 @@ def build_service(tiny=False, burst_groups=None, mesh_n=None):
     if mesh_n:
         from lrcn_tpu.parallel import make_mesh
         mesh = make_mesh((mesh_n, 1))
+    vgg_params = None
+    if with_encoder:   # the image endpoint: full VGG-16 geometry unless
+        #                tiny (random weights — identical FLOPs/bytes)
+        from lrcn_tpu.models import vgg as vgg_mod
+        vgg_params = vgg_mod.init_vgg_params(
+            jax.random.PRNGKey(1),
+            **({"width_multiplier": 0.05, "fc_dim": cfg.cnn_feature_dim}
+               if tiny else {}))
     svc = CaptionService(cfg, params, vocab, store=store, beam_width=3,
                          max_words=8 if tiny else 20,
                          decode_batch=32 if tiny else 256,
+                         encode_batch=encode_batch,
+                         vgg_params=vgg_params,
                          compute_dtype=jnp.float32 if tiny else jnp.bfloat16,
                          max_wait_ms=10.0, max_burst_groups=burst_groups,
                          mesh=mesh)
@@ -66,7 +77,7 @@ def build_service(tiny=False, burst_groups=None, mesh_n=None):
 
 
 def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
-                rate_rps=0.0, feat_dim=0):
+                rate_rps=0.0, feat_dim=0, img_path=None):
     """Run one loadgen point; also meter THIS process's CPU (the server
     lives in-process: Python pump + C++ connection threads), so each
     point reports how much of the knee is host CPU rather than device.
@@ -81,7 +92,8 @@ def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
     # the JSON for every prior point exactly when the server stalls
     out = subprocess.run(
         [exe, "127.0.0.1", str(port), str(conns), str(duration),
-         str(max_id), str(ids_per_req), str(rate_rps), str(feat_dim)],
+         str(max_id), str(ids_per_req), str(rate_rps), str(feat_dim),
+         img_path or ""],
         capture_output=True, text=True, timeout=duration + 240)
     wall = time.monotonic() - t0
     ru1 = resource.getrusage(resource.RUSAGE_SELF)
@@ -94,8 +106,26 @@ def run_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
     return r
 
 
+def start_loadgen(exe, port, conns, duration, max_id=512, ids_per_req=1,
+                  rate_rps=0.0, feat_dim=0, img_path=None):
+    """Non-blocking loadgen launch — the mixed-traffic soak runs one
+    generator per request type simultaneously."""
+    return subprocess.Popen(
+        [exe, "127.0.0.1", str(port), str(conns), str(duration),
+         str(max_id), str(ids_per_req), str(rate_rps), str(feat_dim),
+         img_path or ""],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def finish_loadgen(proc, duration):
+    out, err = proc.communicate(timeout=duration + 240)
+    if proc.returncode != 0:
+        raise RuntimeError(f"loadgen failed: {err[-500:]}")
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req,
-               feat_dim=0):
+               feat_dim=0, img_path=None):
     """OPEN-LOOP latency-vs-load: fixed offered rates, latency measured
     from each request's scheduled time (wrk2-style — queueing delay on
     an overloaded server grows the tail instead of silently shedding
@@ -108,11 +138,12 @@ def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req,
           f"{'srv CPU':>8}")
     results = []
     run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req,
-                feat_dim=feat_dim)   # warm
+                feat_dim=feat_dim, img_path=img_path)   # warm
     for rate in rate_list:
         r = run_loadgen(exe, port, conns, duration,
                         ids_per_req=ids_per_req,
-                        rate_rps=rate / ids_per_req, feat_dim=feat_dim)
+                        rate_rps=rate / ids_per_req, feat_dim=feat_dim,
+                        img_path=img_path)
         util = (r["cpu_user_s"] + r["cpu_sys_s"]) / (r["wall_s"] * ncores)
         flag = "  <-- client-bound!" if util >= 0.8 else ""
         if util + r["server_cpu_util"] >= 0.9:
@@ -139,9 +170,10 @@ def rate_sweep(exe, port, name, rate_list, conns, duration, ids_per_req,
 
 
 def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn,
-          feat_dim=0):
+          feat_dim=0, img_path=None):
     ncores = os.cpu_count() or 1
-    kind = f"features[{feat_dim}]" if feat_dim else "ids"
+    kind = ("base64 images" if img_path
+            else f"features[{feat_dim}]" if feat_dim else "ids")
     print(f"\n=== {name} frontend: closed-loop C++ clients, "
           f"{duration}s per point, {kind}, per_req={ids_per_req} ===")
     print(f"{'conns':>6} {'captions/s':>12} {'p50 ms':>8} {'p90 ms':>8} "
@@ -149,17 +181,19 @@ def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn,
     best = None
     results = []
     run_loadgen(exe, port, 8, 2, ids_per_req=ids_per_req,
-                feat_dim=feat_dim)   # warm
+                feat_dim=feat_dim, img_path=img_path)   # warm
     for conns in conns_list:
         before = stats_fn()
         r = run_loadgen(exe, port, conns, duration,
-                        ids_per_req=ids_per_req, feat_dim=feat_dim)
+                        ids_per_req=ids_per_req, feat_dim=feat_dim,
+                        img_path=img_path)
         after = stats_fn()
         util = (r["cpu_user_s"] + r["cpu_sys_s"]) / (r["wall_s"] * ncores)
-        # native /stats exports 'items'; the Python batcher snapshot
-        # calls the same counter 'requests'
-        served = (after.get("items", after.get("requests", 0))
-                  - before.get("items", before.get("requests", 0)))
+        # native /stats exports 'items' ('img_items' for the image
+        # path); the Python batcher snapshot calls it 'requests'
+        key = "img_items" if img_path else "items"
+        served = (after.get(key, after.get("requests", 0))
+                  - before.get(key, before.get("requests", 0)))
         server_rate = served / r["wall_s"] if served else None
         flag = "  <-- client-bound!" if util >= 0.8 else ""
         if util + r["server_cpu_util"] >= 0.9:
@@ -209,6 +243,12 @@ def main():
                     help="POST raw fc7 feature bodies instead of ids "
                          "(the external-encoder deployment; rows parsed "
                          "in C++, grouped feature drain)")
+    ap.add_argument("--image", action="store_true",
+                    help="POST base64-image bodies (JPEG decode + VGG "
+                         "encode + beam decode — the full live-image "
+                         "path, lrcn.jl:595-597 made a service)")
+    ap.add_argument("--encode-batch", type=int, default=8,
+                    help="VGG encode batch for --image")
     args = ap.parse_args()
     conns_list = [int(c) for c in args.sweep.split(",")]
     rate_list = ([int(r) for r in args.rate_sweep.split(",")]
@@ -221,8 +261,25 @@ def main():
         sys.exit("loadgen unavailable (g++ missing or LRCN_NATIVE=0)")
 
     svc = build_service(tiny=args.tiny, burst_groups=args.burst_groups,
-                        mesh_n=args.mesh)
+                        mesh_n=args.mesh, with_encoder=args.image,
+                        encode_batch=args.encode_batch)
     feat_dim = svc.cfg.cnn_feature_dim if args.features else 0
+    img_path = None
+    if args.image:
+        # one representative JPEG (COCO-like geometry, photographic
+        # high-frequency content so decode cost is realistic)
+        import tempfile
+
+        from PIL import Image
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+        img = Image.fromarray(base).resize((640, 480), Image.BILINEAR)
+        fd, img_path = tempfile.mkstemp(suffix=".jpg")
+        os.close(fd)
+        img.save(img_path, format="JPEG", quality=90)
+        print(f"image body: 640x480 JPEG, "
+              f"{os.path.getsize(img_path)} bytes")
     all_results = {}
 
     if args.which in ("python", "both"):
@@ -234,14 +291,16 @@ def main():
         if rate_list:
             all_results["python"] = rate_sweep(
                 exe, port, "python", rate_list, args.conns,
-                args.duration, args.ids_per_req, feat_dim=feat_dim)
+                args.duration, args.ids_per_req, feat_dim=feat_dim,
+                img_path=img_path)
         else:
             all_results["python"] = sweep(
                 exe, port, "python", conns_list, args.duration,
                 args.ids_per_req,
                 lambda: svc.stats().get(
-                    "decode" if feat_dim else "decode_ids", {}),
-                feat_dim=feat_dim)
+                    "encode" if img_path
+                    else "decode" if feat_dim else "decode_ids", {}),
+                feat_dim=feat_dim, img_path=img_path)
         server.shutdown()
         server.server_close()
 
@@ -266,11 +325,13 @@ def main():
         if rate_list:
             all_results["native"] = rate_sweep(
                 exe, fe.port, "native", rate_list, args.conns,
-                args.duration, args.ids_per_req, feat_dim=feat_dim)
+                args.duration, args.ids_per_req, feat_dim=feat_dim,
+                img_path=img_path)
         else:
             all_results["native"] = sweep(
                 exe, fe.port, "native", conns_list, args.duration,
-                args.ids_per_req, native_stats, feat_dim=feat_dim)
+                args.ids_per_req, native_stats, feat_dim=feat_dim,
+                img_path=img_path)
         fe.stop()
 
     svc.close()

@@ -7,9 +7,16 @@ slice, and host-resource growth (RSS, open fds, threads) across the
 run — a leaky connection path or an unbounded queue shows up here long
 before it kills a deployment.
 
+``--mixed`` soaks all three request types SIMULTANEOUSLY — open-loop
+ids at ``--rate``, open-loop features at ``--feat-rate``, and a
+closed-loop image client saturating the image thread — and compares
+the id path's p99 against an id-only baseline at the same rate: the
+image thread and the pump share the Python GIL, so this is the
+measurement that catches one path starving another.
+
 Usage:
   python benchmarks/bench_serve_soak.py [--rate 8000] [--duration 300]
-      [--conns 2048] [--slices 3]
+      [--conns 2048] [--slices 3] [--mixed] [--feat-rate 200]
 """
 
 import argparse
@@ -38,6 +45,86 @@ def fd_count() -> int:
     return len(os.listdir("/proc/self/fd"))
 
 
+def run_mixed(args, exe, build_service, run_loadgen, start_loadgen,
+              finish_loadgen, NativeFrontend):
+    """Mixed-traffic soak: ids (open-loop) + features (open-loop) +
+    images (closed-loop, saturating the image thread) at once; the
+    verdict compares the id path's p99 against an id-only baseline at
+    the identical offered rate."""
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    svc = build_service(tiny=args.tiny, with_encoder=True)
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+    img = Image.fromarray(base).resize((640, 480), Image.BILINEAR)
+    fd, img_path = tempfile.mkstemp(suffix=".jpg")
+    os.close(fd)
+    img.save(img_path, format="JPEG", quality=90)
+    feat_dim = svc.cfg.cnn_feature_dim
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0,
+                        n_threads=args.conns + 128, wait_ms=10)
+    try:
+        # warm every path (compile the burst shapes + the VGG encode)
+        run_loadgen(exe, fe.port, 8, 2)
+        run_loadgen(exe, fe.port, 8, 2, feat_dim=feat_dim)
+        run_loadgen(exe, fe.port, 2, 2, img_path=img_path)
+
+        per = args.duration / 2
+        baseline = run_loadgen(exe, fe.port, args.conns, per,
+                               rate_rps=args.rate)
+        print(json.dumps({"phase": "id-only baseline",
+                          **{k: baseline[k] for k in
+                             ("captions_per_s", "p50_ms", "p99_ms",
+                              "errors", "completion")}}), flush=True)
+
+        procs = {
+            "ids": start_loadgen(exe, fe.port, args.conns, per,
+                                 rate_rps=args.rate),
+            "features": start_loadgen(exe, fe.port,
+                                      max(8, args.conns // 16), per,
+                                      rate_rps=args.feat_rate,
+                                      feat_dim=feat_dim),
+            # closed loop: as fast as the image thread will go — the
+            # starvation stressor, not a rated load
+            "images": start_loadgen(exe, fe.port, args.img_conns, per,
+                                    img_path=img_path),
+        }
+        mixed = {k: finish_loadgen(p, per) for k, p in procs.items()}
+        for k, r in mixed.items():
+            print(json.dumps({"phase": f"mixed:{k}",
+                              **{key: r[key] for key in
+                                 ("captions_per_s", "p50_ms", "p99_ms",
+                                  "errors")}}), flush=True)
+
+        degrade = mixed["ids"]["p99_ms"] / max(baseline["p99_ms"], 1e-9)
+        out = {"rate": args.rate, "feat_rate": args.feat_rate,
+               "img_conns": args.img_conns, "duration_s": args.duration,
+               "id_p99_baseline_ms": baseline["p99_ms"],
+               "id_p99_mixed_ms": mixed["ids"]["p99_ms"],
+               "id_p99_degradation": round(degrade, 3),
+               "image_captions_per_s": mixed["images"]["captions_per_s"],
+               "feature_captions_per_s":
+                   mixed["features"]["captions_per_s"],
+               "errors": sum(r["errors"] for r in mixed.values())}
+        verdict = []
+        if out["errors"]:
+            verdict.append(f"{out['errors']} errors")
+        if degrade > args.p99_bound:
+            verdict.append(
+                f"id p99 degraded {degrade:.2f}x under image traffic "
+                f"(bound {args.p99_bound}x) — pump starvation")
+        out["verdict"] = "; ".join(verdict) if verdict else "clean"
+        print(json.dumps(out), flush=True)
+        return 1 if verdict else 0
+    finally:
+        fe.stop()
+        svc.close()
+        os.unlink(img_path)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=int, default=8000)
@@ -47,10 +134,20 @@ def main():
                     help="split the run into N loadgen slices so "
                          "latency drift across the soak is visible")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--mixed", action="store_true",
+                    help="ids + features + images simultaneously; "
+                         "verdict bounds the id path's p99 degradation")
+    ap.add_argument("--feat-rate", type=int, default=200,
+                    help="offered feature rows/s in --mixed")
+    ap.add_argument("--img-conns", type=int, default=4,
+                    help="closed-loop image connections in --mixed")
+    ap.add_argument("--p99-bound", type=float, default=2.0,
+                    help="max allowed id-p99 multiplier under --mixed")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from bench_serve_capacity import build_service, run_loadgen
+    from bench_serve_capacity import (build_service, finish_loadgen,
+                                      run_loadgen, start_loadgen)
 
     from lrcn_tpu.native import loadgen_binary
     from lrcn_tpu.serve.native_http import NativeFrontend
@@ -58,6 +155,9 @@ def main():
     exe = loadgen_binary()
     if exe is None:
         sys.exit("loadgen unavailable")
+    if args.mixed:
+        sys.exit(run_mixed(args, exe, build_service, run_loadgen,
+                           start_loadgen, finish_loadgen, NativeFrontend))
     svc = build_service(tiny=args.tiny)
     fe = NativeFrontend(svc, host="127.0.0.1", port=0,
                         n_threads=args.conns + 64, wait_ms=10)

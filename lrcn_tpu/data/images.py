@@ -103,6 +103,65 @@ def load_batch_native(paths: Sequence[str], n_threads: int | None = None
     return out, ok
 
 
+def decode_blobs_native(blobs: Sequence[bytes],
+                        n_threads: int | None = None
+                        ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Decode+resize+crop encoded JPEG blobs with the C++ threaded
+    loader (in-memory source — the serving image endpoint's bodies
+    never touch disk).  Returns (images (N,224,224,3) uint8, ok (N,)
+    bool) or None when the native library is unavailable."""
+    import ctypes
+
+    from lrcn_tpu.native import imageloader_library
+
+    lib = imageloader_library()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    n = len(blobs)
+    out = np.zeros((n, CROP, CROP, 3), np.uint8)
+    status = (ctypes.c_int * n)()
+    c_blobs = (ctypes.c_char_p * n)(*blobs)
+    sizes = (ctypes.c_longlong * n)(*[len(b) for b in blobs])
+    lib.lrcn_load_images_mem(
+        c_blobs, sizes, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), status,
+        n_threads)
+    ok = np.asarray(status[:], np.int32) == 0
+    return out, ok
+
+
+def load_blobs(blobs: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Encoded image blobs -> ((N,224,224,3) uint8, ok (N,) bool).
+
+    Threaded native JPEG decode first, PIL rescue per failed row (PNG
+    and other formats); ok[i] is False only when both fail.  Both the
+    HTTP image endpoints and ``CaptionService.caption_image_bytes`` run
+    through here, so the served decode path is byte-identical to the
+    contract path regardless of which library decodes."""
+    import io
+
+    from PIL import Image
+
+    n = len(blobs)
+    native = decode_blobs_native(blobs)
+    if native is not None:
+        imgs, ok = native
+    else:
+        imgs = np.zeros((n, CROP, CROP, 3), np.uint8)
+        ok = np.zeros(n, bool)
+    for idx in np.flatnonzero(~ok):
+        try:
+            with Image.open(io.BytesIO(blobs[idx])) as im:
+                imgs[idx] = resize_crop(
+                    np.asarray(im.convert("RGB"), np.uint8))
+            ok[idx] = True
+        except Exception:   # noqa: BLE001 — bad bytes stay flagged
+            pass
+    return imgs, ok
+
+
 def load_preprocessed(path: str) -> np.ndarray:
     """One image -> (224,224,3) uint8: native JPEG fast path, PIL fallback."""
     if path.lower().endswith((".jpg", ".jpeg")):

@@ -84,6 +84,12 @@ def imageloader_library() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
+        lib.lrcn_load_images_mem.restype = ctypes.c_int
+        lib.lrcn_load_images_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(
+                ctypes.c_longlong), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
         lib._lrcn_configured = True
     return lib
 
@@ -164,6 +170,8 @@ def httpserve_library() -> ctypes.CDLL | None:
         lib.lrcn_serve_set_vocab.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int]
+        lib.lrcn_serve_set_id_rows.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL), LL]
         lib.lrcn_serve_respond_tokens.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,

@@ -125,6 +125,16 @@ struct Server {
     // responses can be built from RAW device tokens without Python
     // detokenization on the hot path
     std::vector<std::string> vocab;
+
+    // image id -> feature-store row, registered once by the pump when
+    // the service has an HBM-resident table (set_id_rows).  Connection
+    // threads resolve ids (and 400 unknown ones) at PARSE time, fully
+    // parallel — the pump's Python never touches per-item row
+    // resolution again (it was 62% of a core at the r4 knee).  Null =
+    // unregistered: raw ids pass through and the pump resolves.
+    std::shared_ptr<const std::unordered_map<long long, long long>>
+        id_rows;
+    std::mutex id_rows_mu;
 };
 
 bool server_stopping(const Server* sv) { return sv->stopping.load(); }
@@ -601,7 +611,39 @@ void handle_connection(Server* sv, int fd) {
         std::vector<std::shared_ptr<std::vector<float>>> feat_rows;
         std::vector<std::shared_ptr<std::string>> blobs;
         bool unsupported = false;
-        if (!parse_ids(body, ids, unsupported) || ids.empty()) {
+        if (!parse_ids(body, ids, unsupported))
+            ids.clear();      // a failed parse may leave partial ids
+        if (!ids.empty()) {
+            // id fast path: translate to store rows here (parallel
+            // connection threads) when the map is registered; unknown
+            // ids 400 without ever touching the queue or the pump
+            std::shared_ptr<const std::unordered_map<long long,
+                                                     long long>> map;
+            {
+                std::lock_guard<std::mutex> lk(sv->id_rows_mu);
+                map = sv->id_rows;
+            }
+            if (map) {
+                long long bad = 0;
+                bool ok = true;
+                for (auto& v : ids) {
+                    auto f = map->find(v);
+                    if (f == map->end()) {
+                        bad = v;
+                        ok = false;
+                        break;
+                    }
+                    v = f->second;
+                }
+                if (!ok) {
+                    sv->errors.fetch_add(1);
+                    respond(fd, 400, "{\"error\": \"unknown image id " +
+                            std::to_string(bad) + "\"}", keep_alive);
+                    continue;
+                }
+            }
+        }
+        if (ids.empty()) {
             bool is_feats = body.find("\"features\"") != std::string::npos;
             bool is_imgs = body.find("_b64\"") != std::string::npos;
             int dim = sv->feat_dim.load();
@@ -964,6 +1006,25 @@ void lrcn_serve_respond(void* h, const long long* reqs,
 void lrcn_serve_set_vocab(void* h, const char** words, int n) {
     auto* sv = (Server*)h;
     sv->vocab.assign(words, words + n);
+}
+
+// Register the image-id -> feature-store-row map once: connection
+// threads then emit ROW indices through the queue (and 400 unknown
+// ids at parse time), eliminating the pump's per-item Python row
+// resolution.  Callable again to swap the map; n = 0 unregisters.
+void lrcn_serve_set_id_rows(void* h, const long long* ids,
+                            const long long* rows, long long n) {
+    auto* sv = (Server*)h;
+    std::shared_ptr<const std::unordered_map<long long, long long>> m;
+    if (n > 0) {
+        auto mm =
+            std::make_shared<std::unordered_map<long long, long long>>();
+        mm->reserve((size_t)n);
+        for (long long i = 0; i < n; i++) (*mm)[ids[i]] = rows[i];
+        m = std::move(mm);
+    }
+    std::lock_guard<std::mutex> lk(sv->id_rows_mu);
+    sv->id_rows = std::move(m);
 }
 
 // Fill caption slots from RAW token rows. `tokens` is n rows of t_cap

@@ -43,13 +43,19 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 // Decode a JPEG to RGB, using DCT scaling to land near (but not below)
 // the target shortest side.  Also reports the ORIGINAL dimensions so the
 // caller can compute the reference's resize geometry from them (the
-// scaled dims can differ by a pixel of rounding).  Returns false on any
-// decode error.
-bool decode_jpeg(const char* path, std::vector<unsigned char>* pixels,
+// scaled dims can differ by a pixel of rounding).  The source is either
+// a file path or an in-memory blob (the serving image endpoint decodes
+// request bodies without touching disk).  Returns false on any decode
+// error.
+bool decode_jpeg(const char* path, const unsigned char* blob,
+                 size_t blob_size, std::vector<unsigned char>* pixels,
                  int* width, int* height, int* orig_width,
                  int* orig_height) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
+    FILE* f = nullptr;
+    if (path != nullptr) {
+        f = std::fopen(path, "rb");
+        if (!f) return false;
+    }
 
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
@@ -57,11 +63,15 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>* pixels,
     jerr.mgr.error_exit = jpeg_error_exit;
     if (setjmp(jerr.jump)) {
         jpeg_destroy_decompress(&cinfo);
-        std::fclose(f);
+        if (f) std::fclose(f);
         return false;
     }
     jpeg_create_decompress(&cinfo);
-    jpeg_stdio_src(&cinfo, f);
+    if (f) {
+        jpeg_stdio_src(&cinfo, f);
+    } else {
+        jpeg_mem_src(&cinfo, blob, blob_size);
+    }
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = JCS_RGB;  // grayscale/CMYK -> RGB (lrcn.jl:761)
     *orig_width = static_cast<int>(cinfo.image_width);
@@ -94,7 +104,7 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>* pixels,
     }
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
+    if (f) std::fclose(f);
     return true;
 }
 
@@ -130,10 +140,12 @@ void resize_bilinear(const unsigned char* src, int h, int w, int new_h,
 }
 
 // Full pipeline for one image -> out (224,224,3).  Returns 0 on success.
-int load_one(const char* path, unsigned char* out) {
+int load_one(const char* path, const unsigned char* blob, size_t blob_size,
+             unsigned char* out) {
     std::vector<unsigned char> pixels;
     int w = 0, h = 0, ow = 0, oh = 0;
-    if (!decode_jpeg(path, &pixels, &w, &h, &ow, &oh)) return 1;
+    if (!decode_jpeg(path, blob, blob_size, &pixels, &w, &h, &ow, &oh))
+        return 1;
     if (w <= 0 || h <= 0 || ow <= 0 || oh <= 0) return 2;
     // reference integer arithmetic (lrcn.jl:756) computed from the
     // ORIGINAL dimensions — DCT-scaled dims round and would shift the
@@ -172,7 +184,34 @@ int lrcn_load_images(const char** paths, int n, unsigned char* out,
             const int i = next.fetch_add(1);
             if (i >= n) return;
             const int rc =
-                load_one(paths[i],
+                load_one(paths[i], nullptr, 0,
+                         out + static_cast<size_t>(i) * kCrop * kCrop * 3);
+            status[i] = rc;
+            if (rc) failures.fetch_add(1);
+        }
+    };
+    std::vector<std::thread> threads;
+    const int t = n_threads < n ? n_threads : n;
+    threads.reserve(t);
+    for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+    return failures.load();
+}
+
+// In-memory variant for the serving image endpoint: n JPEG blobs
+// (request bodies, already base64-decoded) -> out (n,224,224,3) uint8.
+// status[i] = 0 on success; returns the number of failures.
+int lrcn_load_images_mem(const unsigned char** blobs,
+                         const long long* sizes, int n, unsigned char* out,
+                         int* status, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int> next(0), failures(0);
+    auto worker = [&]() {
+        for (;;) {
+            const int i = next.fetch_add(1);
+            if (i >= n) return;
+            const int rc =
+                load_one(nullptr, blobs[i], static_cast<size_t>(sizes[i]),
                          out + static_cast<size_t>(i) * kCrop * kCrop * 3);
             status[i] = rc;
             if (rc) failures.fetch_add(1);

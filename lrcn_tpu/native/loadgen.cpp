@@ -131,9 +131,15 @@ int read_response(int fd, std::string& buf, bool* server_closes) {
 // late, once the connection frees — so an overloaded server shows up
 // as exploding schedule-relative latency, never as silently dropped
 // offered load (the wrk2 contract).  sched_end_us == 0: closed loop.
+//
+// `bodies` (non-empty for feature/image modes) is ONE immutable pool
+// built in main() and shared by every worker — per-thread copies of
+// multi-KB bodies cost gigabytes of client RSS at 2048 connections,
+// and the server normalizes inputs so per-thread uniqueness buys
+// nothing.  Empty pool = id mode (bodies are built per request; tiny).
 void worker(const char* host, int port, int tid, long max_id,
-            int ids_per_req, int feat_dim, long interval_us,
-            long offset_us, long sched_end_us,
+            int ids_per_req, const std::vector<std::string>* bodies,
+            long interval_us, long offset_us, long sched_end_us,
             std::chrono::steady_clock::time_point t_start,
             WorkerStats* out) {
     WorkerStats st;
@@ -142,29 +148,6 @@ void worker(const char* host, int port, int tid, long max_id,
     int fd = dial(host, port);
     std::string buf;
     uint64_t x = 0x9E3779B97F4A7C15ull * (uint64_t)(tid + 1);
-    // feature mode: PRE-BUILD a small pool of request bodies (a 4096-d
-    // row is ~25 KB of JSON — formatting it per request would make the
-    // CLIENT the bottleneck; the server normalizes, so reuse is fine)
-    std::vector<std::string> feat_bodies;
-    if (feat_dim > 0) {
-        for (int v = 0; v < 4; v++) {
-            std::string b = "{\"features\": [";
-            for (int r = 0; r < (ids_per_req < 1 ? 1 : ids_per_req); r++) {
-                if (r) b += ",";
-                b += "[";
-                for (int d = 0; d < feat_dim; d++) {
-                    x += 0x9E3779B97F4A7C15ull;
-                    uint64_t z = x;
-                    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
-                    if (d) b += ",";
-                    b += std::to_string((unsigned)(z % 997) * 1e-3);
-                }
-                b += "]";
-            }
-            b += "]}";
-            feat_bodies.push_back(std::move(b));
-        }
-    }
     // t_start is the SHARED schedule epoch from main: anchoring to this
     // thread's own start time would smear the global arrival schedule
     // by the thread-spawn stagger (and flatter schedule-relative
@@ -193,9 +176,10 @@ void worker(const char* host, int port, int tid, long max_id,
         }
         // splitmix64 id stream, unique per thread
         std::string body;
-        if (feat_dim > 0) {
+        const std::string* body_ref = nullptr;  // pooled (no copy)
+        if (!bodies->empty()) {
             x += 0x9E3779B97F4A7C15ull;
-            body = feat_bodies[(size_t)(x % feat_bodies.size())];
+            body_ref = &(*bodies)[(size_t)(x % bodies->size())];
         } else if (ids_per_req <= 1) {
             x += 0x9E3779B97F4A7C15ull;
             uint64_t z = x;
@@ -213,17 +197,22 @@ void worker(const char* host, int port, int tid, long max_id,
             }
             body += "]}";
         }
-        std::string req =
-            "POST /v1/caption HTTP/1.1\r\nHost: lg\r\n"
-            "Content-Type: application/json\r\nContent-Length: " +
-            std::to_string(body.size()) + "\r\n\r\n" + body;
+        std::string req;
+        if (body_ref == nullptr) {
+            req = "POST /v1/caption HTTP/1.1\r\nHost: lg\r\n"
+                  "Content-Type: application/json\r\nContent-Length: " +
+                  std::to_string(body.size()) + "\r\n\r\n" + body;
+            body_ref = &req;   // pooled entries are FULL pre-rendered
+            //                    requests (header included) — zero
+            //                    per-request formatting or copying
+        }
         // open-loop: latency from the SCHEDULED time (queueing counts)
         auto t0 = interval_us > 0 ? due : std::chrono::steady_clock::now();
         bool ok = false, server_closes = false;
         int status = -1;
         if (fd >= 0 &&
-            ::send(fd, req.data(), req.size(), MSG_NOSIGNAL) ==
-                (ssize_t)req.size()) {
+            ::send(fd, body_ref->data(), body_ref->size(), MSG_NOSIGNAL) ==
+                (ssize_t)body_ref->size()) {
             status = read_response(fd, buf, &server_closes);
             ok = status == 200;
         }
@@ -275,13 +264,51 @@ double pct(std::vector<long>& v, double p) {
 
 }  // namespace
 
+// base64 (standard alphabet, padded) — image request bodies.
+std::string b64encode(const std::vector<unsigned char>& in) {
+    static const char* tbl =
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+    std::string out;
+    out.reserve((in.size() + 2) / 3 * 4);
+    size_t i = 0;
+    for (; i + 2 < in.size(); i += 3) {
+        unsigned v = (unsigned)in[i] << 16 | (unsigned)in[i + 1] << 8 |
+                     in[i + 2];
+        out += tbl[v >> 18];
+        out += tbl[(v >> 12) & 63];
+        out += tbl[(v >> 6) & 63];
+        out += tbl[v & 63];
+    }
+    if (i + 1 == in.size()) {
+        unsigned v = (unsigned)in[i] << 16;
+        out += tbl[v >> 18];
+        out += tbl[(v >> 12) & 63];
+        out += "==";
+    } else if (i + 2 == in.size()) {
+        unsigned v = (unsigned)in[i] << 16 | (unsigned)in[i + 1] << 8;
+        out += tbl[v >> 18];
+        out += tbl[(v >> 12) & 63];
+        out += tbl[(v >> 6) & 63];
+        out += "=";
+    }
+    return out;
+}
+
+std::string render_request(const std::string& body) {
+    return "POST /v1/caption HTTP/1.1\r\nHost: lg\r\n"
+           "Content-Type: application/json\r\nContent-Length: " +
+           std::to_string(body.size()) + "\r\n\r\n" + body;
+}
+
 int main(int argc, char** argv) {
     if (argc < 6) {
         std::fprintf(stderr,
             "usage: %s HOST PORT N_CONNS DURATION_S MAX_ID "
-            "[IDS_PER_REQ] [RATE_RPS] [FEAT_DIM]\n"
+            "[IDS_PER_REQ] [RATE_RPS] [FEAT_DIM] [IMG_PATH]\n"
             "  FEAT_DIM > 0: POST {\"features\": [[...], ...]} bodies "
-            "(IDS_PER_REQ rows of FEAT_DIM floats) instead of ids\n",
+            "(IDS_PER_REQ rows of FEAT_DIM floats) instead of ids\n"
+            "  IMG_PATH: POST base64-image bodies (IDS_PER_REQ images "
+            "per request) built from this encoded image file\n",
             argv[0]);
         return 2;
     }
@@ -293,6 +320,58 @@ int main(int argc, char** argv) {
     int ids_per_req = argc > 6 ? std::atoi(argv[6]) : 1;
     double rate_rps = argc > 7 ? std::atof(argv[7]) : 0.0;
     int feat_dim = argc > 8 ? std::atoi(argv[8]) : 0;
+    const char* img_path = argc > 9 && argv[9][0] ? argv[9] : nullptr;
+
+    // ONE shared immutable pool of pre-rendered requests (empty = id
+    // mode); workers index into it — never copy (multi-KB bodies
+    // duplicated per thread cost gigabytes at 2048 connections).
+    std::vector<std::string> pool;
+    const int rows = ids_per_req < 1 ? 1 : ids_per_req;
+    if (img_path != nullptr) {
+        FILE* f = std::fopen(img_path, "rb");
+        if (!f) {
+            std::fprintf(stderr, "cannot read %s\n", img_path);
+            return 2;
+        }
+        std::vector<unsigned char> blob;
+        unsigned char tmp[65536];
+        size_t n;
+        while ((n = std::fread(tmp, 1, sizeof tmp, f)) > 0)
+            blob.insert(blob.end(), tmp, tmp + n);
+        std::fclose(f);
+        const std::string b64 = b64encode(blob);
+        std::string body;
+        if (rows <= 1) {
+            body = "{\"image_b64\": \"" + b64 + "\"}";
+        } else {
+            body = "{\"images_b64\": [";
+            for (int r = 0; r < rows; r++) {
+                if (r) body += ",";
+                body += "\"" + b64 + "\"";
+            }
+            body += "]}";
+        }
+        pool.push_back(render_request(body));
+    } else if (feat_dim > 0) {
+        uint64_t x = 0x9E3779B97F4A7C15ull;
+        for (int v = 0; v < 4; v++) {
+            std::string b = "{\"features\": [";
+            for (int r = 0; r < rows; r++) {
+                if (r) b += ",";
+                b += "[";
+                for (int d = 0; d < feat_dim; d++) {
+                    x += 0x9E3779B97F4A7C15ull;
+                    uint64_t z = x;
+                    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+                    if (d) b += ",";
+                    b += std::to_string((unsigned)(z % 997) * 1e-3);
+                }
+                b += "]";
+            }
+            b += "]}";
+            pool.push_back(render_request(b));
+        }
+    }
 
     // open-loop: each connection fires every n_conns/rate seconds,
     // staggered so GLOBAL arrivals are uniform at rate_rps
@@ -307,7 +386,7 @@ int main(int argc, char** argv) {
     long sched_end_us = (long)(duration_s * 1e6);
     for (int i = 0; i < n_conns; i++)
         threads.emplace_back(worker, host, port, i, max_id, ids_per_req,
-                             feat_dim, interval_us,
+                             &pool, interval_us,
                              interval_us > 0
                                  ? (long)((double)interval_us * i /
                                           n_conns)

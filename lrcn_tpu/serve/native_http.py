@@ -78,6 +78,22 @@ class NativeFrontend:
         # exactly this many floats and ships them through the queue
         self._feat_dim = int(service.cfg.cnn_feature_dim)
         lib.lrcn_serve_set_feature_dim(self._h, self._feat_dim)
+        # register the id -> store-row map: connection threads resolve
+        # ids (and 400 unknown ones) at parse time in C++, so the pump
+        # receives ready row indices — per-item Python row resolution
+        # was the largest pump cost at the r4 capacity knee.  The store
+        # is frozen for the life of the service (its table is already
+        # resident in HBM), so a one-time snapshot is safe.
+        self._rows_resolved = False
+        if service.store is not None and service._table is not None:
+            sids = np.asarray(service.store.ids(), np.int64)
+            srows = np.asarray(service.store.rows(sids), np.int64)
+            lib.lrcn_serve_set_id_rows(
+                self._h,
+                sids.ctypes.data_as(ctypes.POINTER(_LL)),
+                srows.ctypes.data_as(ctypes.POINTER(_LL)),
+                len(sids))
+            self._rows_resolved = True
         # pre-compile every burst shape so traffic never recompiles
         # (grouped drain works under a mesh too: groups scan, each
         # batch shards along 'data'); no-op if warmup() already ran
@@ -156,42 +172,42 @@ class NativeFrontend:
                 # next respond sets a fresh one)
                 responded = 0
                 if n:
-                    id_idx = [i for i in range(n) if not isfeat[i]]
-                    feat_idx = [i for i in range(n) if isfeat[i]]
-                    if id_idx and (store is None or svc._table is None):
+                    # zero-copy views over the pulled ctypes buffers
+                    # (fresh buffers every pull; the views pin them)
+                    flags = np.frombuffer(isfeat, np.uint8, n)
+                    ids_np = np.frombuffer(ids, np.int64, n)
+                    reqs_np = np.frombuffer(reqs, np.int64, n)
+                    slots_np = np.frombuffer(slots, np.int64, n)
+                    id_idx = np.flatnonzero(flags == 0)
+                    feat_idx = np.flatnonzero(flags)
+                    if id_idx.size and not self._rows_resolved:
                         # features-only deployment: ids have no resident
-                        # table to resolve against
+                        # table to resolve against (C++ map unregistered)
                         for i in id_idx:
                             self._lib.lrcn_serve_error(
-                                self._h, reqs[i], 400,
+                                self._h, int(reqs_np[i]), 400,
                                 b"caption-by-id needs a feature store "
                                 b"(features-only deployment)")
-                        id_idx = []
-                    keep = []
-                    if id_idx:
-                        batch_ids = [int(ids[i]) for i in id_idx]
-                        unknown = set(store.missing(batch_ids))
-                        for i, bid in zip(id_idx, batch_ids):
-                            if bid in unknown:
-                                self._lib.lrcn_serve_error(
-                                    self._h, reqs[i], 400,
-                                    f"unknown image id {bid}".encode())
-                            else:
-                                keep.append(i)
-                    if keep:
-                        rows = store.rows([int(ids[i]) for i in keep])
-                        rows = [int(r) for r in rows]
+                        id_idx = id_idx[:0]
+                    if id_idx.size:
+                        # ids are already STORE ROWS (resolved at parse
+                        # time in C++; unknown ids 400'd there) — issue
+                        # the grouped dispatch with no per-item Python
+                        rows = (ids_np if id_idx.size == n
+                                else ids_np[id_idx])
                         raw = svc._decode_rows_grouped(rows)  # issue only
-                        pending.append((raw, [reqs[i] for i in keep],
-                                        [slots[i] for i in keep]))
-                    if feat_idx:
+                        pending.append(
+                            (raw, np.ascontiguousarray(reqs_np[id_idx]),
+                             np.ascontiguousarray(slots_np[id_idx])))
+                    if feat_idx.size:
                         # raw fc7 rows: normalized + decoded through the
                         # grouped scanned feature dispatch (its own
                         # dispatch — row items gather from the resident
                         # table inside the program, feature rows upload)
                         raw = svc._decode_feats_grouped(feats[feat_idx])
-                        pending.append((raw, [reqs[i] for i in feat_idx],
-                                        [slots[i] for i in feat_idx]))
+                        pending.append(
+                            (raw, np.ascontiguousarray(reqs_np[feat_idx]),
+                             np.ascontiguousarray(slots_np[feat_idx])))
                 elif pending:
                     # nothing arrived inside the wait window: retire one
                     # dispatch (keeps latency bounded when load stops)
@@ -209,7 +225,7 @@ class NativeFrontend:
                 for raw, preqs, _ in pending:
                     for r in preqs:
                         self._lib.lrcn_serve_error(
-                            self._h, r, 500, b"decode failed")
+                            self._h, int(r), 500, b"decode failed")
                 pending.clear()
                 if n:
                     for i in range(n):
@@ -223,23 +239,21 @@ class NativeFrontend:
             except Exception:   # noqa: BLE001 — flush the rest anyway
                 for r in preqs:
                     self._lib.lrcn_serve_error(
-                        self._h, r, 500, b"decode failed")
+                        self._h, int(r), 500, b"decode failed")
 
     def _run_images(self) -> None:
         """Image thread: pull decoded blobs, batch them through the
         service's encode stage, respond.
 
-        Per-item Python here is fine — an image request is dominated by
-        JPEG decode + the VGG dispatch, not request overhead; the C++
-        front-end still owns accept/parse/base64/respond.  Batching:
-        after the first blob arrives, drain whatever else is queued (up
-        to the encode batch) so concurrent image requests coalesce into
-        one VGG dispatch."""
-        import io
-
-        from PIL import Image
-
-        from lrcn_tpu.data.images import resize_crop
+        The JPEG decode runs in the threaded C++ loader
+        (``native/imageloader.cpp`` in-memory mode, PIL rescue for
+        PNG/odd formats) — one batched call per pull, releasing the GIL
+        for the whole decode so sustained image traffic cannot starve
+        the id/feature pump.  The C++ front-end owns
+        accept/parse/base64/respond.  Batching: after the first blob
+        arrives, drain whatever else is queued (up to the encode batch)
+        so concurrent image requests coalesce into one VGG dispatch."""
+        from lrcn_tpu.data.images import load_blobs
 
         svc = self.service
         buf_cap = 16 << 20
@@ -273,13 +287,13 @@ class NativeFrontend:
                 if nxt is None:
                     break
                 batch.append(nxt)
+            decoded, ok = load_blobs([blob for _, _, blob in batch])
             images, metas = [], []
-            for r, s, blob in batch:
-                try:
-                    img = Image.open(io.BytesIO(blob)).convert("RGB")
-                    images.append(resize_crop(np.asarray(img)))
+            for (r, s, _), img, good in zip(batch, decoded, ok):
+                if good:
+                    images.append(img)
                     metas.append((r, s))
-                except Exception:   # noqa: BLE001 — bad bytes = client
+                else:                 # bad bytes = client error
                     self._lib.lrcn_serve_error(
                         self._h, r, 400, b"could not decode image")
             if not images:
@@ -298,25 +312,27 @@ class NativeFrontend:
     def _respond(self, preqs, pslots, captions) -> None:
         k = len(captions)
         self._lib.lrcn_serve_respond(
-            self._h, (_LL * k)(*preqs), (_LL * k)(*pslots),
+            self._h, (_LL * k)(*[int(r) for r in preqs]),
+            (_LL * k)(*[int(s) for s in pslots]),
             (ctypes.c_char_p * k)(*[c.encode() for c in captions]), k)
 
     def _respond_raw(self, preqs, pslots, raw) -> None:
-        """Finalize + respond WITHOUT per-caption Python: fetch the
-        token array (the async host copy started at issue time) and let
-        C++ detokenize against the registered vocab."""
-        import numpy as np
-
+        """Finalize + respond WITHOUT per-item Python: fetch the token
+        array (the async host copy started at issue time), pass the
+        req/slot arrays as raw pointers, and let C++ detokenize against
+        the registered vocab."""
         from lrcn_tpu.core.vocab import EOS_ID
 
         n, tokens = raw
         toks = np.ascontiguousarray(np.asarray(tokens), dtype=np.int32)
         toks = toks.reshape(-1, toks.shape[-1])   # (G*B | B, T)
-        k = len(preqs)
+        preqs = np.ascontiguousarray(np.asarray(preqs, np.int64))
+        pslots = np.ascontiguousarray(np.asarray(pslots, np.int64))
         self._lib.lrcn_serve_respond_tokens(
-            self._h, (_LL * k)(*preqs), (_LL * k)(*pslots),
+            self._h, preqs.ctypes.data_as(ctypes.POINTER(_LL)),
+            pslots.ctypes.data_as(ctypes.POINTER(_LL)),
             toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            toks.shape[1], EOS_ID, k)
+            toks.shape[1], EOS_ID, len(preqs))
 
     # --- ops ---
 

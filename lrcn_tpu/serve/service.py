@@ -390,18 +390,22 @@ class CaptionService:
         return self._submit_decode(self._await_all(feat_futs))
 
     def caption_image_bytes(self, blobs: Sequence[bytes]) -> list[str]:
-        """Raw encoded image bytes (JPEG/PNG) -> captions."""
-        import io
+        """Raw encoded image bytes (JPEG/PNG) -> captions.
 
-        from PIL import Image
+        Decodes through :func:`lrcn_tpu.data.images.load_blobs` (the
+        threaded native JPEG loader, PIL rescue) — the same path the
+        HTTP image endpoints use, so serving and this contract method
+        stay pixel-identical."""
+        from lrcn_tpu.data.images import load_blobs
 
-        from lrcn_tpu.data.images import resize_crop
-
-        images = []
-        for blob in blobs:
-            img = Image.open(io.BytesIO(blob)).convert("RGB")
-            images.append(resize_crop(np.asarray(img)))
-        return self.caption_images(images)
+        images, ok = load_blobs(blobs)
+        bad = np.flatnonzero(~ok)
+        if bad.size:
+            raise ValueError(
+                f"could not decode image bytes (blob "
+                f"{'s ' if bad.size > 1 else ''}"
+                f"{', '.join(str(int(i)) for i in bad)})")
+        return self.caption_images(list(images))
 
     def _await_all(self, futs: list, timeout_s: float | None = None
                    ) -> list:
