@@ -195,6 +195,10 @@ def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn,
         served = (after.get(key, after.get("requests", 0))
                   - before.get(key, before.get("requests", 0)))
         server_rate = served / r["wall_s"] if served else None
+        pump_d = after.get("pump_cpu_s", 0.0) - before.get("pump_cpu_s",
+                                                           0.0)
+        if served and pump_d:
+            r["pump_us_per_item"] = pump_d / served * 1e6
         flag = "  <-- client-bound!" if util >= 0.8 else ""
         if util + r["server_cpu_util"] >= 0.9:
             flag += "  <-- host-bound (client+server share the cores)"
@@ -215,6 +219,10 @@ def sweep(exe, port, name, conns_list, duration, ids_per_req, stats_fn,
     if best.get("server_side_rate"):
         print(f"{name}: server-side counter rate "
               f"{best['server_side_rate']:,.0f} items/s")
+    if best.get("pump_us_per_item"):
+        print(f"{name}: pump-thread CPU {best['pump_us_per_item']:.1f} "
+              f"us/item at the peak (pump saturates at "
+              f"{1e6 / best['pump_us_per_item']:,.0f} items/s)")
     return results
 
 
@@ -311,6 +319,13 @@ def main():
         fe = NativeFrontend(svc, host="127.0.0.1", port=0,
                             n_threads=n_conns + 64, wait_ms=10)
 
+        # the pump thread is the serialization point of the id/feature
+        # path; meter ITS CPU specifically (pthread CPU clock) so a
+        # cost moved from the pump into the parallel C++ connection
+        # threads shows up as pump headroom even when total process
+        # CPU is unchanged
+        pump_clk = time.pthread_getcpuclockid(fe._pump.ident)
+
         def native_stats():
             import http.client
 
@@ -318,9 +333,11 @@ def main():
                                               timeout=30)
             try:
                 conn.request("GET", "/stats")
-                return json.loads(conn.getresponse().read())
+                st = json.loads(conn.getresponse().read())
             finally:
                 conn.close()
+            st["pump_cpu_s"] = time.clock_gettime(pump_clk)
+            return st
 
         if rate_list:
             all_results["native"] = rate_sweep(

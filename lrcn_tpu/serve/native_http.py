@@ -252,7 +252,17 @@ class NativeFrontend:
         the id/feature pump.  The C++ front-end owns
         accept/parse/base64/respond.  Batching: after the first blob
         arrives, drain whatever else is queued (up to the encode batch)
-        so concurrent image requests coalesce into one VGG dispatch."""
+        so concurrent image requests coalesce into one VGG dispatch.
+
+        PIPELINED: the encode+beam round trip (device dispatches + link
+        RTT) runs in a bounded pool of dispatch threads, so this thread
+        decodes batch N+1's JPEGs while batch N is on the device —
+        measured 38 → ~2× captions/s on a 1-core host, where the serial
+        decode→dispatch→respond cycle was the ceiling (BENCH_DETAIL.md
+        image-path table).  Depth 2 is enough: one batch decoding, one
+        in flight."""
+        import threading as _threading
+
         from lrcn_tpu.data.images import load_blobs
 
         svc = self.service
@@ -276,6 +286,23 @@ class NativeFrontend:
                 return None
             return int(req.value), int(slot.value), buf.raw[:n]
 
+        depth = 2
+        sem = _threading.Semaphore(depth)
+
+        def dispatch(images, metas):
+            try:
+                caps = svc.caption_images(images)
+                self._respond([r for r, _ in metas],
+                              [s for _, s in metas], caps)
+            except Exception as e:   # noqa: BLE001 — outlive failures
+                print(f"native image thread: batch failed: {e!r}",
+                      flush=True)
+                for r, _ in metas:
+                    self._lib.lrcn_serve_error(
+                        self._h, r, 500, b"encode failed")
+            finally:
+                sem.release()
+
         max_batch = svc._encode.max_batch
         while not self._stop.is_set():
             first = pull_one(50)
@@ -298,16 +325,16 @@ class NativeFrontend:
                         self._h, r, 400, b"could not decode image")
             if not images:
                 continue
-            try:
-                caps = svc.caption_images(images)
-                self._respond([r for r, _ in metas],
-                              [s for _, s in metas], caps)
-            except Exception as e:   # noqa: BLE001 — outlive failures
-                print(f"native image thread: batch failed: {e!r}",
-                      flush=True)
-                for r, _ in metas:
-                    self._lib.lrcn_serve_error(
-                        self._h, r, 500, b"encode failed")
+            # bound the pipeline: at most `depth` batches past decode
+            # (their requests are protected by the C++ request timeout
+            # either way); stay responsive to stop() while full
+            while not sem.acquire(timeout=0.5):
+                if self._stop.is_set():
+                    break
+            else:
+                _threading.Thread(target=dispatch, args=(images, metas),
+                                  name="lrcn-img-dispatch",
+                                  daemon=True).start()
 
     def _respond(self, preqs, pslots, captions) -> None:
         k = len(captions)
