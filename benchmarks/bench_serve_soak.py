@@ -64,8 +64,13 @@ def run_mixed(args, exe, build_service, run_loadgen, start_loadgen,
     os.close(fd)
     img.save(img_path, format="JPEG", quality=90)
     feat_dim = svc.cfg.cnn_feature_dim
+    # connection capacity must cover ALL three legs at once (ids +
+    # features + images) plus slack — undersizing it bounces whole
+    # connections off the C++ connection limit for the entire run
+    n_threads = (args.conns + max(8, args.conns // 16)
+                 + args.img_conns + 64)
     fe = NativeFrontend(svc, host="127.0.0.1", port=0,
-                        n_threads=args.conns + 128, wait_ms=10)
+                        n_threads=n_threads, wait_ms=10)
     try:
         # warm every path (compile the burst shapes + the VGG encode)
         run_loadgen(exe, fe.port, 8, 2)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import ctypes
 import threading
+import time
 from collections import deque
 
 import numpy as np
@@ -46,7 +47,8 @@ class NativeFrontend:
     def __init__(self, service: CaptionService, host: str = "0.0.0.0",
                  port: int = 8000, n_threads: int = 128,
                  max_queue: int = 4096, wait_ms: int = 3,
-                 max_inflight: int = 2, fill_ms: int = 20):
+                 max_inflight: int = 2, fill_ms: int = 20,
+                 feat_wait_ms: float = 200.0):
         lib = httpserve_library()
         if lib is None:
             raise RuntimeError("native httpserve library unavailable "
@@ -67,6 +69,7 @@ class NativeFrontend:
         self._wait_ms = wait_ms
         self._fill_ms = fill_ms
         self._max_inflight = max_inflight
+        self._feat_wait_s = feat_wait_ms / 1e3
         # register the vocab so responses are built in C++ from raw
         # device tokens (the Python per-caption detokenize + encode
         # loop cost ~25 ms per full burst cycle)
@@ -136,7 +139,37 @@ class NativeFrontend:
         # per-batch dispatching costs ~1/3 more at full backlog
         batch_cap = svc.decode_batch * svc.MAX_DECODE_GROUPS
         pending: deque = deque()
+        self.pending_hwm = 0   # in-flight high water (mixed-traffic
+        #                        regression instrument: must stay within
+        #                        max_inflight + the 2 same-cycle issues)
+        # feature accumulator: a grouped feature dispatch costs the same
+        # device time for 8 rows as for 1024 (the 20-step beam scan is
+        # batch-size-flat, 30-37 ms from B=16 to B=256 measured), so
+        # dispatching a sliver of feature rows EVERY cycle under mixed
+        # traffic doubles per-cycle device cost for a few percent of the
+        # items — measured 10.2k -> 5.1k id captions/s with a 200 rows/s
+        # feature leg.  Feature rows age up to feat_wait_ms (or up to
+        # batch_cap rows) before dispatching; when the pump is otherwise
+        # idle they flush immediately, so feature-only deployments and
+        # low-load latency are unchanged.
+        feat_rows: list = []
+        feat_reqs: list = []
+        feat_slots: list = []
+        feat_n = 0
+        feat_first = 0.0     # monotonic arrival of the oldest row held
         current = None   # batch popped from `pending`, mid-finalize
+
+        def flush_feats():
+            nonlocal feat_rows, feat_reqs, feat_slots, feat_n
+            rows = (feat_rows[0] if len(feat_rows) == 1
+                    else np.concatenate(feat_rows))
+            raw = svc._decode_feats_grouped(rows)
+            pending.append((raw,
+                            np.concatenate(feat_reqs) if len(feat_reqs) > 1
+                            else feat_reqs[0],
+                            np.concatenate(feat_slots) if len(feat_slots) > 1
+                            else feat_slots[0]))
+            feat_rows, feat_reqs, feat_slots, feat_n = [], [], [], 0
         responded = 0    # items in the last responded batch: the pull's
         #                  arrival forecast (closed-loop clients
         #                  re-request as soon as they hear back)
@@ -161,8 +194,13 @@ class NativeFrontend:
                 # (An earlier version drained ALL pending on an empty
                 # pull; under closed-loop load every drain cold-started
                 # the pipeline and the knee sat at ~54% of the grouped
-                # drain rate.)
-                if len(pending) >= self._max_inflight:
+                # drain rate.)  MUST be a while: a mixed pull issues TWO
+                # dispatches (one id + one feature), so retiring only
+                # one per cycle lets `pending` grow by one net per cycle
+                # — under sustained mixed traffic the in-flight queue
+                # and its latency grow without bound (measured: id p50
+                # 80 s in the round-5 mixed soak before this fix).
+                while len(pending) >= self._max_inflight:
                     retire_oldest()
                 n, ids, reqs, slots, feats, isfeat = self._pull(
                     batch_cap, expect=responded)
@@ -200,18 +238,36 @@ class NativeFrontend:
                             (raw, np.ascontiguousarray(reqs_np[id_idx]),
                              np.ascontiguousarray(slots_np[id_idx])))
                     if feat_idx.size:
-                        # raw fc7 rows: normalized + decoded through the
-                        # grouped scanned feature dispatch (its own
-                        # dispatch — row items gather from the resident
-                        # table inside the program, feature rows upload)
-                        raw = svc._decode_feats_grouped(feats[feat_idx])
-                        pending.append(
-                            (raw, np.ascontiguousarray(reqs_np[feat_idx]),
-                             np.ascontiguousarray(slots_np[feat_idx])))
+                        # raw fc7 rows: ACCUMULATE (see flush_feats) —
+                        # they dispatch grouped, after aging or when the
+                        # pump is idle, so a trickle of feature rows
+                        # cannot double every cycle's device cost
+                        if feat_n + feat_idx.size > batch_cap:
+                            flush_feats()     # never exceed the grouped
+                            #                   program's 4x256 capacity
+                        if not feat_n:
+                            feat_first = time.monotonic()
+                        feat_rows.append(feats[feat_idx])
+                        feat_reqs.append(
+                            np.ascontiguousarray(reqs_np[feat_idx]))
+                        feat_slots.append(
+                            np.ascontiguousarray(slots_np[feat_idx]))
+                        feat_n += feat_idx.size
                 elif pending:
                     # nothing arrived inside the wait window: retire one
                     # dispatch (keeps latency bounded when load stops)
                     retire_oldest()
+                if feat_n and (
+                        feat_n >= batch_cap
+                        or time.monotonic() - feat_first
+                        >= self._feat_wait_s
+                        # idle fast path: nothing else to overlap with —
+                        # feature-only deployments and low-load requests
+                        # keep their unaged latency
+                        or not pending):
+                    flush_feats()
+                if len(pending) > self.pending_hwm:
+                    self.pending_hwm = len(pending)
             except Exception as e:   # noqa: BLE001 — the pump must
                 # outlive ANY batch failure: fail the affected requests
                 # (the C++ side 504s anything we lose track of) and keep
@@ -227,11 +283,21 @@ class NativeFrontend:
                         self._lib.lrcn_serve_error(
                             self._h, int(r), 500, b"decode failed")
                 pending.clear()
+                for preqs in feat_reqs:   # accumulated, not yet issued
+                    for r in preqs:
+                        self._lib.lrcn_serve_error(
+                            self._h, int(r), 500, b"decode failed")
+                feat_rows, feat_reqs, feat_slots, feat_n = [], [], [], 0
                 if n:
                     for i in range(n):
                         self._lib.lrcn_serve_error(
                             self._h, reqs[i], 500, b"decode failed")
         # flush whatever was still in flight at stop
+        if feat_n:
+            try:
+                flush_feats()
+            except Exception:   # noqa: BLE001 — 504 fallback in C++
+                pass
         while pending:
             raw, preqs, pslots = pending.popleft()
             try:

@@ -729,6 +729,76 @@ def test_image_traffic_does_not_starve_id_path():
         svc.close()
 
 
+def test_mixed_id_feature_traffic_keeps_inflight_bounded():
+    """Sustained MIXED id+feature traffic: each pump cycle that pulls
+    both kinds issues TWO dispatches (one grouped id, one grouped
+    feature).  The regression this guards: retiring only ONE in-flight
+    dispatch per cycle lets the pending queue grow by one net per cycle
+    — unbounded in-flight depth and runaway latency (measured id p50
+    80 s in the round-5 flagship mixed soak).  The pump must retire
+    down to its budget every cycle, keeping the in-flight high water at
+    max_inflight + the (at most 2) same-cycle issues."""
+    import time
+
+    from lrcn_tpu.serve.native_http import NativeFrontend
+
+    cfg = LRCNConfig(hidden=(16, 16), embed=12, vocab_size=20,
+                     cnn_feature_dim=8)
+    vocab = Vocab([f"w{i}" for i in range(cfg.vocab_size - 3)])
+    params = lrcn.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(5)
+    feats = {i: np.abs(rng.standard_normal(cfg.cnn_feature_dim))
+             .astype(np.float32) for i in range(8)}
+    store = FeatureStore.from_dict(
+        {k: v / v.sum() for k, v in feats.items()}, normalized=True)
+    svc = CaptionService(cfg, params, vocab, store=store, beam_width=2,
+                         max_words=8, decode_batch=4,
+                         compute_dtype=jnp.float32)
+    fe = NativeFrontend(svc, host="127.0.0.1", port=0, n_threads=24,
+                        wait_ms=2)
+    stop = threading.Event()
+    errors = []
+
+    def hammer(kind):
+        k = 0
+        while not stop.is_set():
+            body = ({"id": k % 8} if kind == "id" else
+                    {"features":
+                     [np.abs(rng.standard_normal(8)).tolist()]})
+            status, _ = _request(fe.port, "POST", "/v1/caption", body)
+            if status != 200:
+                errors.append((kind, status))
+                return
+            k += 1
+
+    try:
+        # warm both paths so compiles don't hide the steady state
+        assert _request(fe.port, "POST", "/v1/caption",
+                        {"id": 0})[0] == 200
+        assert _request(fe.port, "POST", "/v1/caption",
+                        {"features":
+                         [np.ones(8).tolist()]})[0] == 200
+        threads = [threading.Thread(target=hammer, args=(kind,),
+                                    daemon=True)
+                   for kind in ("id", "feat") * 4]
+        for t in threads:
+            t.start()
+        time.sleep(4.0)   # hundreds of mixed pump cycles on CPU
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors
+        bound = fe._max_inflight + 2
+        assert fe.pending_hwm <= bound, (
+            f"pump in-flight queue grew to {fe.pending_hwm} "
+            f"(budget {fe._max_inflight}): mixed traffic is not "
+            f"retiring one dispatch per issue")
+    finally:
+        stop.set()
+        fe.stop()
+        svc.close()
+
+
 def test_native_frontend_on_mesh_matches_single_device():
     """The native pump end to end OVER HTTP on a sharded service: the
     grouped drain dispatches (G, B) indices P(None, 'data') against the
