@@ -25,7 +25,6 @@ from __future__ import annotations
 import ctypes
 import threading
 import time
-from collections import deque
 
 import numpy as np
 
@@ -103,6 +102,21 @@ class NativeFrontend:
         service.warmup_burst_shapes()
         service.warmup_feature_burst_shapes()
         self._stop = threading.Event()
+        # issued-but-unresponded batches flow pump -> responder through
+        # this queue; the budget bounds how many can be in flight (the
+        # pump blocks acquiring it — i.e. on the responder's progress)
+        import queue as _queue
+
+        self._respq: _queue.Queue = _queue.Queue()
+        self._resp_budget = threading.Semaphore(max_inflight)
+        # feature dispatches hold their OWN slot: a feature batch in
+        # flight must not eat the id pipeline's depth or stall the
+        # pull gate (measured: sharing budgets under mixed traffic
+        # added whole feature-finalize waits to the id path's tail)
+        self._feat_budget = threading.Semaphore(1)
+        self._inflight = 0
+        self._last_responded = 0
+        self.pending_hwm = 0
         self._img_thread = None
         if service._encode is not None:
             # base64-image bodies: C++ decodes to bytes; this thread
@@ -111,8 +125,11 @@ class NativeFrontend:
             lib.lrcn_serve_set_image_support(self._h, 1, 64)
             self._img_thread = threading.Thread(
                 target=self._run_images, name="lrcn-img", daemon=True)
+        self._responder = threading.Thread(
+            target=self._run_responder, name="lrcn-respond", daemon=True)
         self._pump = threading.Thread(target=self._run, name="lrcn-pump",
                                       daemon=True)
+        self._responder.start()
         self._pump.start()
         if self._img_thread is not None:
             self._img_thread.start()
@@ -138,77 +155,79 @@ class NativeFrontend:
         # them in ONE scanned dispatch (service._rows_search_scan) —
         # per-batch dispatching costs ~1/3 more at full backlog
         batch_cap = svc.decode_batch * svc.MAX_DECODE_GROUPS
-        pending: deque = deque()
         self.pending_hwm = 0   # in-flight high water (mixed-traffic
         #                        regression instrument: must stay within
-        #                        max_inflight + the 2 same-cycle issues)
+        #                        the in-flight budget)
         # feature accumulator: a grouped feature dispatch costs the same
         # device time for 8 rows as for 1024 (the 20-step beam scan is
         # batch-size-flat, 30-37 ms from B=16 to B=256 measured), so
         # dispatching a sliver of feature rows EVERY cycle under mixed
-        # traffic doubles per-cycle device cost for a few percent of the
-        # items — measured 10.2k -> 5.1k id captions/s with a 200 rows/s
-        # feature leg.  Feature rows age up to feat_wait_ms (or up to
-        # batch_cap rows) before dispatching; when the pump is otherwise
-        # idle they flush immediately, so feature-only deployments and
-        # low-load latency are unchanged.
+        # traffic doubles every cycle's device cost for a few percent of
+        # the items — measured 10.2k -> 5.1k id captions/s with a
+        # 200 rows/s feature leg.  Feature rows age up to feat_wait_ms
+        # (or up to batch_cap rows) before dispatching; when the pump is
+        # otherwise idle they flush immediately, so feature-only
+        # deployments and low-load latency are unchanged.
         feat_rows: list = []
         feat_reqs: list = []
         feat_slots: list = []
         feat_n = 0
         feat_first = 0.0     # monotonic arrival of the oldest row held
-        current = None   # batch popped from `pending`, mid-finalize
+
+        def issue(fn, reqs_arr, slots_arr, budget):
+            # blocks on the in-flight budget — i.e. on the RESPONDER's
+            # progress, overlapping its finalize work — then issues the
+            # device dispatch and hands the raw handle off.  On an issue
+            # failure the budget is returned and the caller's except
+            # path errors the requests.
+            while not budget.acquire(timeout=0.5):
+                if self._stop.is_set():   # shutting down: the responder
+                    break                 # drains whatever we enqueue
+            try:
+                raw = fn()
+            except BaseException:
+                budget.release()
+                raise
+            self._inflight += 1
+            if self._inflight > self.pending_hwm:
+                self.pending_hwm = self._inflight
+            self._respq.put((raw, reqs_arr, slots_arr, budget))
 
         def flush_feats():
             nonlocal feat_rows, feat_reqs, feat_slots, feat_n
             rows = (feat_rows[0] if len(feat_rows) == 1
                     else np.concatenate(feat_rows))
-            raw = svc._decode_feats_grouped(rows)
-            pending.append((raw,
-                            np.concatenate(feat_reqs) if len(feat_reqs) > 1
-                            else feat_reqs[0],
-                            np.concatenate(feat_slots) if len(feat_slots) > 1
-                            else feat_slots[0]))
+            reqs_arr = (feat_reqs[0] if len(feat_reqs) == 1
+                        else np.concatenate(feat_reqs))
+            slots_arr = (feat_slots[0] if len(feat_slots) == 1
+                         else np.concatenate(feat_slots))
             feat_rows, feat_reqs, feat_slots, feat_n = [], [], [], 0
-        responded = 0    # items in the last responded batch: the pull's
-        #                  arrival forecast (closed-loop clients
-        #                  re-request as soon as they hear back)
-        def retire_oldest():
-            # finalize + respond the oldest dispatch; `current` marks it
-            # so the except block can fail ITS requests fast if the
-            # finalize blows up (not just the newly pulled ones)
-            nonlocal current, responded
-            current = pending.popleft()
-            raw, preqs, pslots = current
-            self._respond_raw(preqs, pslots, raw)
-            responded = len(preqs)
-            current = None
+            issue(lambda: svc._decode_feats_grouped(rows),
+                  reqs_arr, slots_arr, self._feat_budget)
 
         while not self._stop.is_set():
             n = 0
             try:
-                # keep the pipeline primed: finalize the OLDEST dispatch
-                # only when the in-flight budget is full — responding
-                # unblocks a batch of clients whose next requests fill
-                # the pull below while the younger dispatches still run.
-                # (An earlier version drained ALL pending on an empty
-                # pull; under closed-loop load every drain cold-started
-                # the pipeline and the knee sat at ~54% of the grouped
-                # drain rate.)  MUST be a while: a mixed pull issues TWO
-                # dispatches (one id + one feature), so retiring only
-                # one per cycle lets `pending` grow by one net per cycle
-                # — under sustained mixed traffic the in-flight queue
-                # and its latency grow without bound (measured: id p50
-                # 80 s in the round-5 mixed soak before this fix).
-                while len(pending) >= self._max_inflight:
-                    retire_oldest()
+                # throttle: wait for a free in-flight slot BEFORE
+                # pulling — while the device works, arrivals coalesce
+                # in the C++ queue and the next pull drains them as ONE
+                # grouped dispatch.  Without this gate the pump pulls
+                # slivers and issues many small dispatches (each costs
+                # the same batch-size-flat device time): measured 25.2k
+                # -> 21.9k batched captions/s and 4x the mid-load
+                # open-loop p99.  The slot frees exactly when the
+                # responder finishes a respond, which also refreshes
+                # the arrival forecast the pull uses — the same
+                # respond->refill->pull cadence the inline-finalize
+                # pump had.  (acquire+release is race-free: this thread
+                # is the only acquirer.)
+                while not self._resp_budget.acquire(timeout=0.5):
+                    if self._stop.is_set():
+                        break
+                else:
+                    self._resp_budget.release()
                 n, ids, reqs, slots, feats, isfeat = self._pull(
-                    batch_cap, expect=responded)
-                # the forecast predicts only the refill right after a
-                # respond — consume it so a stale large value can't
-                # force full fill-window waits once load drops (the
-                # next respond sets a fresh one)
-                responded = 0
+                    batch_cap, expect=self._take_forecast())
                 if n:
                     # zero-copy views over the pulled ctypes buffers
                     # (fresh buffers every pull; the views pin them)
@@ -233,10 +252,10 @@ class NativeFrontend:
                         # the grouped dispatch with no per-item Python
                         rows = (ids_np if id_idx.size == n
                                 else ids_np[id_idx])
-                        raw = svc._decode_rows_grouped(rows)  # issue only
-                        pending.append(
-                            (raw, np.ascontiguousarray(reqs_np[id_idx]),
-                             np.ascontiguousarray(slots_np[id_idx])))
+                        issue(lambda: svc._decode_rows_grouped(rows),
+                              np.ascontiguousarray(reqs_np[id_idx]),
+                              np.ascontiguousarray(slots_np[id_idx]),
+                              self._resp_budget)
                     if feat_idx.size:
                         # raw fc7 rows: ACCUMULATE (see flush_feats) —
                         # they dispatch grouped, after aging or when the
@@ -253,10 +272,6 @@ class NativeFrontend:
                         feat_slots.append(
                             np.ascontiguousarray(slots_np[feat_idx]))
                         feat_n += feat_idx.size
-                elif pending:
-                    # nothing arrived inside the wait window: retire one
-                    # dispatch (keeps latency bounded when load stops)
-                    retire_oldest()
                 if feat_n and (
                         feat_n >= batch_cap
                         or time.monotonic() - feat_first
@@ -264,25 +279,14 @@ class NativeFrontend:
                         # idle fast path: nothing else to overlap with —
                         # feature-only deployments and low-load requests
                         # keep their unaged latency
-                        or not pending):
+                        or self._inflight == 0):
                     flush_feats()
-                if len(pending) > self.pending_hwm:
-                    self.pending_hwm = len(pending)
             except Exception as e:   # noqa: BLE001 — the pump must
-                # outlive ANY batch failure: fail the affected requests
+                # outlive ANY issue failure: fail the affected requests
                 # (the C++ side 504s anything we lose track of) and keep
-                # serving.  `current` is the batch whose finalize blew
-                # up — without an explicit error its requests would sit
-                # out the full request timeout for a 504.
+                # serving.  Batches already handed to the responder are
+                # its to finalize or error — they are independent.
                 print(f"native pump: batch failed: {e!r}", flush=True)
-                if current is not None:
-                    pending.appendleft(current)
-                    current = None
-                for raw, preqs, _ in pending:
-                    for r in preqs:
-                        self._lib.lrcn_serve_error(
-                            self._h, int(r), 500, b"decode failed")
-                pending.clear()
                 for preqs in feat_reqs:   # accumulated, not yet issued
                     for r in preqs:
                         self._lib.lrcn_serve_error(
@@ -292,20 +296,55 @@ class NativeFrontend:
                     for i in range(n):
                         self._lib.lrcn_serve_error(
                             self._h, reqs[i], 500, b"decode failed")
-        # flush whatever was still in flight at stop
+        # hand any aged feature rows to the responder, then stop it:
+        # the sentinel queues BEHIND every in-flight batch, so the
+        # responder drains them all before exiting
         if feat_n:
             try:
                 flush_feats()
             except Exception:   # noqa: BLE001 — 504 fallback in C++
                 pass
-        while pending:
-            raw, preqs, pslots = pending.popleft()
+        self._respq.put(None)
+
+    def _take_forecast(self) -> int:
+        # items in the last responded batch: the pull's arrival forecast
+        # (closed-loop clients re-request as soon as they hear back).
+        # Read-and-zero so a stale value can't force full fill-window
+        # waits once load drops; plain int ops are GIL-atomic and the
+        # forecast is a heuristic either way.
+        r = self._last_responded
+        self._last_responded = 0
+        return r
+
+    def _run_responder(self) -> None:
+        """Finalize + respond OFF the pump thread.
+
+        ``_respond_raw`` blocks on the device for each batch's tokens
+        (releasing the GIL); doing that inline in the pump serialized
+        every cycle behind a device wait, capping issue rate — under
+        mixed traffic each cycle waited out BOTH the id and the feature
+        finalize.  Here the pump only pulls and issues; this thread
+        absorbs the device waits, bounded by ``max_inflight`` via the
+        budget semaphore the pump acquires per issue."""
+        while True:
+            item = self._respq.get()
+            if item is None:
+                return
+            raw, preqs, pslots, budget = item
             try:
-                self._respond(preqs, pslots, svc._decode_finalize(raw))
-            except Exception:   # noqa: BLE001 — flush the rest anyway
-                for r in preqs:
+                self._respond_raw(preqs, pslots, raw)
+                self._last_responded = len(preqs)
+            except Exception as e:   # noqa: BLE001 — a failed batch
+                # must not kill the responder: error ITS requests fast
+                # (without this they'd sit out the request timeout)
+                print(f"native responder: batch failed: {e!r}",
+                      flush=True)
+                for r in np.asarray(preqs).tolist():
                     self._lib.lrcn_serve_error(
                         self._h, int(r), 500, b"decode failed")
+            finally:
+                self._inflight -= 1
+                budget.release()
 
     def _run_images(self) -> None:
         """Image thread: pull decoded blobs, batch them through the
@@ -431,7 +470,8 @@ class NativeFrontend:
 
     def stop(self) -> None:
         self._stop.set()
-        self._pump.join(timeout=10)
+        self._pump.join(timeout=10)          # enqueues the sentinel...
+        self._responder.join(timeout=10)     # ...which drains in order
         if self._img_thread is not None:
             self._img_thread.join(timeout=10)
         self._lib.lrcn_serve_stop(self._h)
