@@ -371,8 +371,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-batch", type=int, default=64,
                    help="compiled decode batch; requests coalesce up to "
                         "this many per dispatch")
-    p.add_argument("--encode-batch", type=int, default=8,
-                   help="compiled VGG batch for image requests")
+    p.add_argument("--encode-batch", type=int, default=16,
+                   help="compiled VGG batch for image requests "
+                        "(16 measured the image-endpoint knee 41%% "
+                        "above 8 under concurrent load — "
+                        "BENCH_DETAIL.md; drop it for single-image "
+                        "latency-sensitive deployments)")
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="max time the dispatcher waits for stragglers "
                         "after the first queued request")

@@ -657,6 +657,36 @@ void handle_connection(Server* sv, int fd) {
                 }
                 ids.assign(feat_rows.size(), -1);   // slot count only
             } else if (is_imgs && sv->images_ok.load()) {
+                {
+                    // backpressure BEFORE the JSON + base64 decode:
+                    // past the knee, parsing multi-hundred-KB bodies
+                    // that then shed burns the very core the image
+                    // pipeline decodes on (measured: goodput halved
+                    // when the full-queue check sat after the parse).
+                    // And an INSTANT 503 is no better — closed-loop
+                    // clients re-request immediately and the shed
+                    // storm's socket reads burn the core instead
+                    // (measured: 12.8k sheds/s, goodput 44 -> 15/s).
+                    // So block THIS connection (it owns its thread)
+                    // until the image thread drains room or the wait
+                    // expires, then shed.  The post-parse capacity
+                    // check below still closes the race.
+                    std::unique_lock<std::mutex> lk(sv->bmu);
+                    if (sv->blobq.size() >= sv->max_blobq) {
+                        sv->bcv.wait_for(
+                            lk, std::chrono::milliseconds(1000), [&] {
+                                return sv->blobq.size() < sv->max_blobq
+                                       || sv->stopping.load(); });
+                        if (sv->blobq.size() >= sv->max_blobq) {
+                            sv->shed.fetch_add(1);
+                            lk.unlock();
+                            respond(fd, 503,
+                                    "{\"error\": \"image queue full\"}",
+                                    keep_alive);
+                            continue;
+                        }
+                    }
+                }
                 std::string err;
                 if (!parse_images(body, blobs, err)) {
                     sv->errors.fetch_add(1);
@@ -752,10 +782,14 @@ void handle_connection(Server* sv, int fd) {
                 }
             }
             std::lock_guard<std::mutex> bl(sv->bmu);
+            bool purged = false;
             for (auto qi = sv->blobq.begin(); qi != sv->blobq.end();) {
-                if (qi->serial == req.serial) qi = sv->blobq.erase(qi);
-                else ++qi;
+                if (qi->serial == req.serial) {
+                    qi = sv->blobq.erase(qi);
+                    purged = true;
+                } else ++qi;
             }
+            if (purged) sv->bcv.notify_all();   // queue room appeared
         }
         if (req.error_status) {
             sv->errors.fetch_add(1);
@@ -975,6 +1009,9 @@ long long lrcn_serve_next_image(void* h, long long* req, long long* slot,
     *req = it.serial;
     *slot = (long long)it.slot;
     sv->blobq.pop_front();
+    // wake connection threads blocked on queue ROOM (the bounded
+    // image backpressure above) — same condvar, opposite predicate
+    sv->bcv.notify_all();
     return sz;
 }
 
