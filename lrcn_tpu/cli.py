@@ -380,6 +380,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="max time the dispatcher waits for stragglers "
                         "after the first queued request")
+    p.add_argument("--feat-wait-ms", type=float, default=200.0,
+                   help="native front-end: how long raw-feature rows "
+                        "may age before dispatching when id traffic is "
+                        "also flowing (grouped feature dispatches are "
+                        "batch-size-flat in device cost, so slivers "
+                        "dispatched every cycle halve id capacity — "
+                        "BENCH_DETAIL.md mixed-soak section); features "
+                        "flush immediately when the pump is idle")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="shard each batch over N chips (data-parallel "
                         "decode + encode; batch sizes must be divisible "
@@ -1067,7 +1075,8 @@ def cmd_serve(args) -> int:
 
         frontend = native_frontend(
             service, host=args.host, port=args.port,
-            max_queue=args.max_queue or 4096)
+            max_queue=args.max_queue or 4096,
+            feat_wait_ms=args.feat_wait_ms)
         print(f"serve: native frontend on http://{args.host}:"
               f"{frontend.port}  (POST /v1/caption id requests, "
               f"GET /healthz, GET /stats)", flush=True)
