@@ -172,6 +172,7 @@ def httpserve_library() -> ctypes.CDLL | None:
             ctypes.c_int]
         lib.lrcn_serve_set_id_rows.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL), LL]
+        lib.lrcn_serve_ready.argtypes = [ctypes.c_void_p]
         lib.lrcn_serve_respond_tokens.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(LL), ctypes.POINTER(LL),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,

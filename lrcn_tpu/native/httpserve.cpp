@@ -135,6 +135,15 @@ struct Server {
     std::shared_ptr<const std::unordered_map<long long, long long>>
         id_rows;
     std::mutex id_rows_mu;
+
+    // set by lrcn_serve_ready() once the Python side has registered
+    // the vocab + id->row map and started the pump.  The listener is
+    // live from lrcn_serve_start (the port is bound and /healthz
+    // answers), but a caption request accepted BEFORE set_id_rows
+    // would enqueue a RAW image id the pump would treat as a store
+    // row — a wrong-caption bug, not a latency blip.  Until ready,
+    // /v1/caption answers 503 "warming up".
+    std::atomic<bool> ready{false};
 };
 
 bool server_stopping(const Server* sv) { return sv->stopping.load(); }
@@ -576,8 +585,9 @@ void handle_connection(Server* sv, int fd) {
         buf.erase(0, content_length);
 
         if (reqline.rfind("GET /healthz", 0) == 0) {
-            respond(fd, 200, "{\"ok\": true, \"frontend\": \"native\"}",
-                    keep_alive);
+            respond(fd, 200, std::string("{\"ok\": true, \"ready\": ") +
+                    (sv->ready.load() ? "true" : "false") +
+                    ", \"frontend\": \"native\"}", keep_alive);
             continue;
         }
         if (reqline.rfind("GET /stats", 0) == 0) {
@@ -604,6 +614,12 @@ void handle_connection(Server* sv, int fd) {
         }
         if (reqline.rfind("POST /v1/caption", 0) != 0) {
             respond(fd, 404, "{\"error\": \"no route\"}", keep_alive);
+            continue;
+        }
+        if (!sv->ready.load()) {
+            // pre-registration window (see Server::ready): serving a
+            // caption request now would bypass id->row translation
+            respond(fd, 503, "{\"error\": \"warming up\"}", keep_alive);
             continue;
         }
         sv->requests.fetch_add(1);
@@ -1062,6 +1078,14 @@ void lrcn_serve_set_id_rows(void* h, const long long* ids,
     }
     std::lock_guard<std::mutex> lk(sv->id_rows_mu);
     sv->id_rows = std::move(m);
+}
+
+// Open the /v1/caption endpoint.  Called once by the Python side AFTER
+// vocab + id->row registration and pump start; until then caption
+// requests 503 (see Server::ready for why this is a correctness gate,
+// not a nicety).
+void lrcn_serve_ready(void* h) {
+    ((Server*)h)->ready.store(true);
 }
 
 // Fill caption slots from RAW token rows. `tokens` is n rows of t_cap

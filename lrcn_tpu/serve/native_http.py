@@ -115,6 +115,10 @@ class NativeFrontend:
         # added whole feature-finalize waits to the id path's tail)
         self._feat_budget = threading.Semaphore(1)
         self._inflight = 0
+        # += / -= across two threads is a non-atomic read-modify-write:
+        # a lost decrement would wedge _inflight above 0 forever and
+        # permanently disable the feature accumulator's idle fast path
+        self._inflight_mu = threading.Lock()
         self._last_responded = 0
         self.pending_hwm = 0
         self._img_thread = None
@@ -133,6 +137,13 @@ class NativeFrontend:
         self._pump.start()
         if self._img_thread is not None:
             self._img_thread.start()
+        # open /v1/caption LAST: the C++ listener is live from
+        # lrcn_serve_start (port bound, /healthz answering), but a
+        # caption request accepted before set_id_rows would enqueue a
+        # raw image id the pump would treat as a STORE ROW — the
+        # wrong caption with a 200, not an error.  Until this call the
+        # endpoint answers 503 "warming up".
+        lib.lrcn_serve_ready(self._h)
 
     # --- pump thread: per-batch Python ---
 
@@ -179,19 +190,26 @@ class NativeFrontend:
             # progress, overlapping its finalize work — then issues the
             # device dispatch and hands the raw handle off.  On an issue
             # failure the budget is returned and the caller's except
-            # path errors the requests.
-            while not budget.acquire(timeout=0.5):
-                if self._stop.is_set():   # shutting down: the responder
-                    break                 # drains whatever we enqueue
+            # path errors the requests.  On shutdown the acquire wait is
+            # abandoned; the item ships with budget=None so the
+            # responder never releases a slot that was never acquired.
+            acquired = False
+            while not acquired:
+                acquired = budget.acquire(timeout=0.5)
+                if not acquired and self._stop.is_set():
+                    break   # shutting down: the responder drains it
             try:
                 raw = fn()
             except BaseException:
-                budget.release()
+                if acquired:
+                    budget.release()
                 raise
-            self._inflight += 1
-            if self._inflight > self.pending_hwm:
-                self.pending_hwm = self._inflight
-            self._respq.put((raw, reqs_arr, slots_arr, budget))
+            with self._inflight_mu:
+                self._inflight += 1
+                if self._inflight > self.pending_hwm:
+                    self.pending_hwm = self._inflight
+            self._respq.put((raw, reqs_arr, slots_arr,
+                             budget if acquired else None))
 
         def flush_feats():
             nonlocal feat_rows, feat_reqs, feat_slots, feat_n
@@ -201,12 +219,25 @@ class NativeFrontend:
                         else np.concatenate(feat_reqs))
             slots_arr = (feat_slots[0] if len(feat_slots) == 1
                          else np.concatenate(feat_slots))
-            feat_rows, feat_reqs, feat_slots, feat_n = [], [], [], 0
             issue(lambda: svc._decode_feats_grouped(rows),
                   reqs_arr, slots_arr, self._feat_budget)
+            # clear ONLY after a successful hand-off: if issue() raises,
+            # the accumulator still holds these requests and the pump's
+            # except path fast-fails them (clearing first would strand
+            # aged rows from earlier pulls until the C++ 504 timeout)
+            feat_rows, feat_reqs, feat_slots, feat_n = [], [], [], 0
 
         while not self._stop.is_set():
             n = 0
+            # this pull's items while they are still OURS: the id batch
+            # until issue() hands it to the responder, the feature items
+            # until they land in the accumulator.  The except path fails
+            # exactly these plus the accumulator — never batches already
+            # handed off (the responder finalizes or errors those
+            # independently) and never the features-only 400s already
+            # answered.
+            cycle_id_reqs = None
+            cycle_feat_reqs = None
             try:
                 # throttle: wait for a free in-flight slot BEFORE
                 # pulling — while the device works, arrivals coalesce
@@ -246,16 +277,23 @@ class NativeFrontend:
                                 b"caption-by-id needs a feature store "
                                 b"(features-only deployment)")
                         id_idx = id_idx[:0]
+                    if feat_idx.size:
+                        cycle_feat_reqs = np.ascontiguousarray(
+                            reqs_np[feat_idx])
                     if id_idx.size:
                         # ids are already STORE ROWS (resolved at parse
                         # time in C++; unknown ids 400'd there) — issue
                         # the grouped dispatch with no per-item Python
                         rows = (ids_np if id_idx.size == n
                                 else ids_np[id_idx])
+                        cycle_id_reqs = np.ascontiguousarray(
+                            reqs_np[id_idx])
+                        id_slots = np.ascontiguousarray(
+                            slots_np[id_idx])
                         issue(lambda: svc._decode_rows_grouped(rows),
-                              np.ascontiguousarray(reqs_np[id_idx]),
-                              np.ascontiguousarray(slots_np[id_idx]),
+                              cycle_id_reqs, id_slots,
                               self._resp_budget)
+                        cycle_id_reqs = None   # handed off
                     if feat_idx.size:
                         # raw fc7 rows: ACCUMULATE (see flush_feats) —
                         # they dispatch grouped, after aging or when the
@@ -267,11 +305,11 @@ class NativeFrontend:
                         if not feat_n:
                             feat_first = time.monotonic()
                         feat_rows.append(feats[feat_idx])
-                        feat_reqs.append(
-                            np.ascontiguousarray(reqs_np[feat_idx]))
+                        feat_reqs.append(cycle_feat_reqs)
                         feat_slots.append(
                             np.ascontiguousarray(slots_np[feat_idx]))
                         feat_n += feat_idx.size
+                        cycle_feat_reqs = None   # in the accumulator
                 if feat_n and (
                         feat_n >= batch_cap
                         or time.monotonic() - feat_first
@@ -282,20 +320,25 @@ class NativeFrontend:
                         or self._inflight == 0):
                     flush_feats()
             except Exception as e:   # noqa: BLE001 — the pump must
-                # outlive ANY issue failure: fail the affected requests
-                # (the C++ side 504s anything we lose track of) and keep
-                # serving.  Batches already handed to the responder are
-                # its to finalize or error — they are independent.
+                # outlive ANY issue failure: fail the requests still in
+                # OUR hands (the C++ side 504s anything we lose track
+                # of) and keep serving.  Batches already handed to the
+                # responder are its to finalize or error; 400s already
+                # answered stay answered.
                 print(f"native pump: batch failed: {e!r}", flush=True)
                 for preqs in feat_reqs:   # accumulated, not yet issued
                     for r in preqs:
                         self._lib.lrcn_serve_error(
                             self._h, int(r), 500, b"decode failed")
                 feat_rows, feat_reqs, feat_slots, feat_n = [], [], [], 0
-                if n:
-                    for i in range(n):
+                if cycle_id_reqs is not None:   # id issue itself failed
+                    for r in cycle_id_reqs:
                         self._lib.lrcn_serve_error(
-                            self._h, reqs[i], 500, b"decode failed")
+                            self._h, int(r), 500, b"decode failed")
+                if cycle_feat_reqs is not None:  # pull's feats unbanked
+                    for r in cycle_feat_reqs:
+                        self._lib.lrcn_serve_error(
+                            self._h, int(r), 500, b"decode failed")
         # hand any aged feature rows to the responder, then stop it:
         # the sentinel queues BEHIND every in-flight batch, so the
         # responder drains them all before exiting
@@ -343,8 +386,10 @@ class NativeFrontend:
                     self._lib.lrcn_serve_error(
                         self._h, int(r), 500, b"decode failed")
             finally:
-                self._inflight -= 1
-                budget.release()
+                with self._inflight_mu:
+                    self._inflight -= 1
+                if budget is not None:   # None = issued during shutdown
+                    budget.release()
 
     def _run_images(self) -> None:
         """Image thread: pull decoded blobs, batch them through the
@@ -393,6 +438,13 @@ class NativeFrontend:
 
         depth = 2
         sem = _threading.Semaphore(depth)
+        from concurrent.futures import ThreadPoolExecutor
+
+        # PERSISTENT workers, not a thread per batch: at the image knee
+        # (dozens of batches/s) per-batch thread creation is avoidable
+        # scheduler churn on the 1-core hosts these benches target
+        pool = ThreadPoolExecutor(max_workers=depth,
+                                  thread_name_prefix="lrcn-img-dispatch")
 
         def dispatch(images, metas):
             try:
@@ -437,9 +489,10 @@ class NativeFrontend:
                 if self._stop.is_set():
                     break
             else:
-                _threading.Thread(target=dispatch, args=(images, metas),
-                                  name="lrcn-img-dispatch",
-                                  daemon=True).start()
+                pool.submit(dispatch, images, metas)
+        # in-flight dispatches finish (bounded by caption_images +
+        # respond); their requests would 504 via C++ otherwise
+        pool.shutdown(wait=True)
 
     def _respond(self, preqs, pslots, captions) -> None:
         k = len(captions)

@@ -402,8 +402,8 @@ class CaptionService:
         bad = np.flatnonzero(~ok)
         if bad.size:
             raise ValueError(
-                f"could not decode image bytes (blob "
-                f"{'s ' if bad.size > 1 else ''}"
+                f"could not decode image bytes "
+                f"(blob{'s' if bad.size > 1 else ''} "
                 f"{', '.join(str(int(i)) for i in bad)})")
         return self.caption_images(list(images))
 

@@ -480,6 +480,13 @@ def test_serve_next_fill_window_semantics():
     port = lib.lrcn_serve_port(h)
     LL = ctypes.c_longlong
 
+    # before lrcn_serve_ready the caption endpoint must 503 (the
+    # pre-registration window would otherwise enqueue RAW ids that a
+    # pump with a registered id->row map would read as store rows)
+    status, out = _request(port, "POST", "/v1/caption", {"id": 0})
+    assert status == 503 and "warming up" in out["error"]
+    lib.lrcn_serve_ready(h)
+
     def clients(n, start_id):
         threads = [threading.Thread(
             target=_request, args=(port, "POST", "/v1/caption",
@@ -759,12 +766,14 @@ def test_mixed_id_feature_traffic_keeps_inflight_bounded():
     stop = threading.Event()
     errors = []
 
-    def hammer(kind):
+    def hammer(kind, seed):
+        # np.random.Generator is NOT thread-safe — each hammer owns one
+        trng = np.random.default_rng(seed)
         k = 0
         while not stop.is_set():
             body = ({"id": k % 8} if kind == "id" else
                     {"features":
-                     [np.abs(rng.standard_normal(8)).tolist()]})
+                     [np.abs(trng.standard_normal(8)).tolist()]})
             status, _ = _request(fe.port, "POST", "/v1/caption", body)
             if status != 200:
                 errors.append((kind, status))
@@ -778,9 +787,9 @@ def test_mixed_id_feature_traffic_keeps_inflight_bounded():
         assert _request(fe.port, "POST", "/v1/caption",
                         {"features":
                          [np.ones(8).tolist()]})[0] == 200
-        threads = [threading.Thread(target=hammer, args=(kind,),
+        threads = [threading.Thread(target=hammer, args=(kind, 100 + i),
                                     daemon=True)
-                   for kind in ("id", "feat") * 4]
+                   for i, kind in enumerate(("id", "feat") * 4)]
         for t in threads:
             t.start()
         time.sleep(4.0)   # hundreds of mixed pump cycles on CPU
